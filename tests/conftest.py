@@ -6,6 +6,8 @@ collectives are exercised without TPU hardware (SURVEY.md §4 test strategy).
 
 import os
 
+os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
+
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -1,0 +1,141 @@
+"""Import the torch reference (/root/reference) as a golden-parity oracle.
+
+The reference depends on pytorch_lightning / xformers / kornia / open_clip /
+timm which are not installed; we stub just enough for the pure-torch modules
+(UNet, VAE, LabelEncoder) to build and run. Tests using this helper must skip
+when the reference tree is unavailable.
+
+This module does NOT copy reference code into the repo — it imports the
+mounted read-only tree at test time to verify numerical parity.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+from pathlib import Path
+
+REFERENCE = Path("/root/reference")
+
+
+def reference_available() -> bool:
+    return (REFERENCE / "sgm").exists()
+
+
+_installed = False
+
+
+def _mkmod(name: str) -> types.ModuleType:
+    import importlib.machinery
+
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return mod
+
+
+def install_stubs():
+    global _installed
+    if _installed:
+        return
+    import torch
+
+    # --- pytorch_lightning ---
+    pl = _mkmod("pytorch_lightning")
+
+    class LightningModule(torch.nn.Module):
+        def log_dict(self, *a, **k):
+            pass
+
+        def log(self, *a, **k):
+            pass
+
+    pl.LightningModule = LightningModule
+    pl.seed_everything = lambda *a, **k: None
+    pl.Trainer = object
+    sys.modules["pytorch_lightning"] = pl
+
+    # --- xformers (softmax attention fallback, same math) ---
+    xf = _mkmod("xformers")
+    xf_ops = _mkmod("xformers.ops")
+
+    def memory_efficient_attention(q, k, v, attn_bias=None, op=None):
+        scale = q.shape[-1] ** -0.5
+        attn = (q @ k.transpose(-1, -2) * scale).softmax(dim=-1)
+        return attn @ v
+
+    xf_ops.memory_efficient_attention = memory_efficient_attention
+    xf.ops = xf_ops
+    sys.modules["xformers"] = xf
+    sys.modules["xformers.ops"] = xf_ops
+
+    # --- kornia / open_clip (imported but unused by the core models) ---
+    for name in ("kornia", "open_clip"):
+        sys.modules.setdefault(name, _mkmod(name))
+
+    # --- omegaconf (only ListConfig/DictConfig type tags are touched) ---
+    if "omegaconf" not in sys.modules:
+        oc = _mkmod("omegaconf")
+
+        class ListConfig(list):
+            pass
+
+        class DictConfig(dict):
+            pass
+
+        class OmegaConf:
+            @staticmethod
+            def to_container(x, **k):
+                return x
+
+        oc.ListConfig = ListConfig
+        oc.DictConfig = DictConfig
+        oc.OmegaConf = OmegaConf
+        sys.modules["omegaconf"] = oc
+
+    # --- torchvision (save_image / transforms are never hit in these tests) ---
+    if "torchvision" not in sys.modules:
+        tv = _mkmod("torchvision")
+        tv_utils = _mkmod("torchvision.utils")
+        tv_utils.save_image = lambda *a, **k: None
+        tv_transforms = _mkmod("torchvision.transforms")
+
+        class _Noop:
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, x):
+                return x
+
+        class InterpolationMode:
+            BICUBIC = "bicubic"
+            BILINEAR = "bilinear"
+
+        for n in ("Compose", "Resize", "Normalize", "Grayscale", "ToTensor"):
+            setattr(tv_transforms, n, _Noop)
+        tv_transforms.InterpolationMode = InterpolationMode
+        tv.utils = tv_utils
+        tv.transforms = tv_transforms
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tv_utils
+        sys.modules["torchvision.transforms"] = tv_transforms
+
+    # --- timm VisionTransformer (subclassed by ViTSTREncoder) ---
+    timm = _mkmod("timm")
+    timm_models = _mkmod("timm.models")
+    timm_vit = _mkmod("timm.models.vision_transformer")
+
+    class VisionTransformer(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+            self.embed_dim = k.get("embed_dim", 768)
+
+    timm_vit.VisionTransformer = VisionTransformer
+    timm_models.vision_transformer = timm_vit
+    timm.models = timm_models
+    sys.modules["timm"] = timm
+    sys.modules["timm.models"] = timm_models
+    sys.modules["timm.models.vision_transformer"] = timm_vit
+
+    if str(REFERENCE) not in sys.path:
+        sys.path.insert(0, str(REFERENCE))
+    _installed = True

@@ -1,0 +1,209 @@
+"""Transformer blocks for the UNet (and VAE mid-attention).
+
+Parity: sgm/modules/attention.py —
+  - CrossAttention (:111-174): textual/visual cross-attn that materializes the
+    softmax attention map (softmax over tokens, sigmoid if a single token) so
+    the local loss / AAE / viz can consume it. We return the map as an aux
+    output instead of mutating module state.
+  - MemoryEfficientCrossAttention (:177-262): the fused self-attention path —
+    here `ops.sdpa` (Pallas flash on TPU).
+  - BasicTransformerBlock (:265-341): self-attn → t_attn → (v_attn) → GEGLU FF,
+    all with pre-LayerNorm residuals.
+  - SpatialTransformer (:344-416): GroupNorm → linear proj-in → blocks →
+    zero-init proj-out → residual, on (B, H, W, C).
+
+The attention maps are shaped (B, heads, N, L) float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import sdpa
+from .layers import Dense, GroupNorm32, matmul_precision
+
+Array = jax.Array
+Dtype = Any
+
+
+class SelfAttention(nn.Module):
+    """Fused multi-head self-attention (no map capture)."""
+
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        inner = self.heads * self.dim_head
+        b, n, _ = x.shape
+        q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        q = q.reshape(b, n, self.heads, self.dim_head)
+        k = k.reshape(b, n, self.heads, self.dim_head)
+        v = v.reshape(b, n, self.heads, self.dim_head)
+        out = sdpa(q, k, v, impl=self.attn_impl)
+        out = out.reshape(b, n, inner)
+        return Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
+
+
+class CrossAttention(nn.Module):
+    """Cross-attention with explicit softmax map (reference :111-174).
+
+    Query length is the pixel count (≤4096); context length is tiny (12
+    LabelEncoder tokens), so materializing the (B·H, N, L) map is cheap.
+    """
+
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: Array, context: Array, capture_map: bool = False
+    ) -> Tuple[Array, Optional[Array]]:
+        inner = self.heads * self.dim_head
+        b, n, _ = x.shape
+        l = context.shape[1]
+        scale = self.dim_head**-0.5
+
+        q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+
+        q = q.reshape(b, n, self.heads, self.dim_head)
+        k = k.reshape(b, l, self.heads, self.dim_head)
+        v = v.reshape(b, l, self.heads, self.dim_head)
+
+        sim = jnp.einsum("bnhd,blhd->bhnl", q, k, precision=matmul_precision(self.dtype)) * scale
+        sim = sim.astype(jnp.float32)
+        if l > 1:
+            attn = jax.nn.softmax(sim, axis=-1)  # softmax over tokens
+        else:
+            attn = jax.nn.sigmoid(sim)  # sigmoid on single-token context
+        attn_c = attn.astype(self.dtype)
+        out = jnp.einsum("bhnl,blhd->bnhd", attn_c, v, precision=matmul_precision(self.dtype)).reshape(b, n, inner)
+        # reference zero-inits to_out (attention.py:129-134)
+        out = Dense(x.shape[-1], zero_init=True, dtype=self.dtype, name="to_out")(out)
+        return out, (attn if capture_map else None)
+
+
+class GEGLUFeedForward(nn.Module):
+    """GEGLU FF (reference :44-69): Dense(d→8d) split ×gelu, Dense(4d→d)."""
+
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        dim = x.shape[-1]
+        inner = dim * self.mult
+        h = Dense(inner * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        return Dense(dim, dtype=self.dtype, name="out")(h)
+
+
+class LayerNormF32(nn.Module):
+    """LayerNorm computed in fp32 (torch LN under autocast runs fp32)."""
+
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        orig = x.dtype
+        out = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32, param_dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return out.astype(orig)
+
+
+class BasicTransformerBlock(nn.Module):
+    heads: int
+    dim_head: int
+    t_context_dim: Optional[int] = None
+    v_context_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        t_context: Optional[Array] = None,
+        v_context: Optional[Array] = None,
+        capture_map: bool = False,
+    ) -> Tuple[Array, Optional[Array]]:
+        x = (
+            SelfAttention(
+                self.heads, self.dim_head, dtype=self.dtype, attn_impl=self.attn_impl, name="attn1"
+            )(LayerNormF32(dtype=self.dtype, name="norm1")(x))
+            + x
+        )
+        t_map = None
+        if self.t_context_dim is not None and self.t_context_dim > 0:
+            h, t_map = CrossAttention(
+                self.heads, self.dim_head, dtype=self.dtype, name="t_attn"
+            )(LayerNormF32(dtype=self.dtype, name="t_norm")(x), t_context, capture_map)
+            x = h + x
+        if self.v_context_dim is not None and self.v_context_dim > 0:
+            h, _ = CrossAttention(
+                self.heads, self.dim_head, dtype=self.dtype, name="v_attn"
+            )(LayerNormF32(dtype=self.dtype, name="v_norm")(x), v_context, False)
+            x = h + x
+        x = GEGLUFeedForward(dtype=self.dtype, name="ff")(
+            LayerNormF32(dtype=self.dtype, name="norm3")(x)
+        ) + x
+        return x, t_map
+
+
+class SpatialTransformer(nn.Module):
+    """Transformer over pixels (reference :344-416), use_linear variant.
+
+    Returns (x, [t_attn_map per depth]) — maps are None unless capture_map.
+    """
+
+    heads: int
+    dim_head: int
+    depth: int = 1
+    t_context_dim: Optional[int] = None
+    v_context_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        t_context: Optional[Array] = None,
+        v_context: Optional[Array] = None,
+        capture_map: bool = False,
+    ) -> Tuple[Array, List[Optional[Array]]]:
+        b, h, w, c = x.shape
+        inner = self.heads * self.dim_head
+        x_in = x
+        x = GroupNorm32(eps=1e-6, name="norm")(x)
+        x = x.reshape(b, h * w, c)
+        x = Dense(inner, dtype=self.dtype, name="proj_in")(x)
+        maps = []
+        for d in range(self.depth):
+            x, m = BasicTransformerBlock(
+                self.heads,
+                self.dim_head,
+                t_context_dim=self.t_context_dim,
+                v_context_dim=self.v_context_dim,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                name=f"blocks_{d}",
+            )(x, t_context, v_context, capture_map)
+            maps.append(m)
+        x = Dense(c, zero_init=True, dtype=self.dtype, name="proj_out")(x)
+        x = x.reshape(b, h, w, c)
+        return x + x_in, maps

@@ -1,0 +1,140 @@
+"""Shared NN primitives for the TPU build.
+
+Parity notes (reference cites):
+  - timestep_embedding: sgm/modules/diffusionmodules/util.py:206-230 — the
+    OpenAI variant with **cos first**, fp32 math.
+  - GroupNorm32: util.py:273-275 — GroupNorm always evaluated in fp32 then
+    cast back to the compute dtype (we mirror that for bf16 stability).
+  - zero_module: util.py:233-238 — zero-init for output projections.
+
+Layout: NHWC everywhere (TPU-native); channel-last convs map directly onto
+XLA's preferred conv layout.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+Dtype = Any
+
+zeros_init = nn.initializers.zeros
+
+
+def matmul_precision(dtype) -> Optional[jax.lax.Precision]:
+    """fp32 compute must not silently run bf16 matmul passes (XLA's default
+    precision); bf16 compute keeps the fast native MXU path."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
+def timestep_embedding(timesteps: Array, dim: int, max_period: int = 10000) -> Array:
+    """Sinusoidal timestep embedding, cos-first (reference util.py:206-230)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm evaluated in fp32, output cast to compute dtype.
+
+    Mirrors GroupNorm32 (util.py:273-275). ``eps`` is 1e-5 for UNet blocks
+    (torch default) and 1e-6 for SpatialTransformer/VAE ``Normalize``
+    (attention.py:79-83, model.py:49-52).
+    """
+
+    num_groups: int = 32
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        out = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.eps,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x)
+        return out.astype(orig_dtype)
+
+
+def silu(x: Array) -> Array:
+    return x * jax.nn.sigmoid(x)
+
+
+class Conv3x3(nn.Module):
+    features: int
+    stride: int = 1
+    zero_init: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        init = zeros_init if self.zero_init else nn.initializers.lecun_normal()
+        return nn.Conv(
+            self.features,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)),
+            kernel_init=init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            precision=matmul_precision(self.dtype),
+        )(x)
+
+
+class Conv1x1(nn.Module):
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.Conv(
+            self.features,
+            (1, 1),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            precision=matmul_precision(self.dtype),
+        )(x)
+
+
+class Dense(nn.Module):
+    features: int
+    use_bias: bool = True
+    zero_init: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        init = zeros_init if self.zero_init else nn.initializers.lecun_normal()
+        return nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            kernel_init=init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            precision=matmul_precision(self.dtype),
+        )(x)
+
+
+def upsample_nearest_2x(x: Array) -> Array:
+    """Nearest-neighbor 2x upsample in NHWC (F.interpolate mode='nearest')."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def avg_pool_2x(x: Array) -> Array:
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))

@@ -1,0 +1,363 @@
+"""UnifiedUNetModel — the SD2-inpainting denoising backbone, TPU-native.
+
+Parity: sgm/modules/diffusionmodules/openaimodel.py:275-623. Shipped config
+(configs/train/textdesign_sd_2.yaml:24-38): 9→4 channels, 320 base, mult
+[1,2,4,4], attn at ds {4,2,1}, head_dim 64, linear-in-transformer, depth 1,
+t_context_dim 2048, optional ctrl_block (ctrl_channels=0).
+
+Design differences from the torch reference (intentional, TPU-first):
+  - NHWC layout; bf16 compute with fp32 GroupNorm (GroupNorm32 parity).
+  - Cross-attention maps are returned as an aux dict (keyed by the torch-style
+    module path, e.g. "output_blocks.6.1.t_attn") instead of being cached on
+    module attributes (openaimodel.py:542-591). This survives jit/scan/grad.
+  - The block topology is computed by `unet_plan`, a pure function shared with
+    the torch-checkpoint converter so weight remapping can never drift from
+    the model structure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .attention import SpatialTransformer
+from .layers import (
+    Conv1x1,
+    Conv3x3,
+    Dense,
+    GroupNorm32,
+    avg_pool_2x,
+    silu,
+    timestep_embedding,
+    upsample_nearest_2x,
+)
+
+Array = jax.Array
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerSpec:
+    kind: str  # conv | res | attn | down | up
+    in_ch: int = 0
+    out_ch: int = 0
+    heads: int = 0
+    dim_head: int = 0
+    ds: int = 0  # downsample factor at this layer (attn only)
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetPlan:
+    input_blocks: Tuple[Tuple[LayerSpec, ...], ...]
+    middle_block: Tuple[LayerSpec, ...]
+    output_blocks: Tuple[Tuple[LayerSpec, ...], ...]
+    out_ch: int
+
+
+def unet_plan(
+    model_channels: int,
+    num_res_blocks: int,
+    attention_resolutions: Sequence[int],
+    channel_mult: Sequence[int],
+    num_head_channels: int,
+    num_heads: int = -1,
+) -> UNetPlan:
+    """Reproduces the block layout loops of openaimodel.py:382-533."""
+
+    def attn_spec(ch: int, ds: int) -> LayerSpec:
+        if num_head_channels == -1:
+            heads, dim_head = num_heads, ch // num_heads
+        else:
+            heads, dim_head = ch // num_head_channels, num_head_channels
+        return LayerSpec("attn", ch, ch, heads, dim_head, ds)
+
+    input_blocks: List[Tuple[LayerSpec, ...]] = [
+        (LayerSpec("conv", 0, model_channels),)
+    ]
+    input_chans = [model_channels]
+    ch = model_channels
+    ds = 1
+    for level, mult in enumerate(channel_mult):
+        for _ in range(num_res_blocks):
+            layers = [LayerSpec("res", ch, mult * model_channels)]
+            ch = mult * model_channels
+            if ds in attention_resolutions:
+                layers.append(attn_spec(ch, ds))
+            input_blocks.append(tuple(layers))
+            input_chans.append(ch)
+        if level != len(channel_mult) - 1:
+            input_blocks.append((LayerSpec("down", ch, ch),))
+            input_chans.append(ch)
+            ds *= 2
+
+    middle = (
+        LayerSpec("res", ch, ch),
+        attn_spec(ch, ds),
+        LayerSpec("res", ch, ch),
+    )
+
+    output_blocks: List[Tuple[LayerSpec, ...]] = []
+    for level, mult in list(enumerate(channel_mult))[::-1]:
+        for i in range(num_res_blocks + 1):
+            ich = input_chans.pop()
+            layers = [LayerSpec("res", ch + ich, model_channels * mult)]
+            ch = model_channels * mult
+            if ds in attention_resolutions:
+                layers.append(attn_spec(ch, ds))
+            if level and i == num_res_blocks:
+                layers.append(LayerSpec("up", ch, ch))
+                ds //= 2
+            output_blocks.append(tuple(layers))
+
+    return UNetPlan(
+        tuple(input_blocks), middle, tuple(output_blocks), out_ch=model_channels
+    )
+
+
+class ResBlock(nn.Module):
+    """Residual block (openaimodel.py:149-268), no up/down variant needed by
+    the shipped configs (resblock_updown=False) but supported."""
+
+    out_channels: int
+    use_scale_shift_norm: bool = False
+    up: bool = False
+    down: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, emb: Array) -> Array:
+        h = GroupNorm32(name="in_norm")(x)
+        h = silu(h)
+        if self.up:
+            h = upsample_nearest_2x(h)
+            x = upsample_nearest_2x(x)
+        elif self.down:
+            h = avg_pool_2x(h)
+            x = avg_pool_2x(x)
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="in_conv")(h)
+
+        emb_out = Dense(
+            2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
+            dtype=self.dtype,
+            name="emb_proj",
+        )(silu(emb))
+        emb_out = emb_out[:, None, None, :].astype(h.dtype)
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+            h = silu(h)
+        else:
+            h = h + emb_out
+            h = GroupNorm32(name="out_norm")(h)
+            h = silu(h)
+        h = Conv3x3(self.out_channels, zero_init=True, dtype=self.dtype, name="out_conv")(h)
+
+        if x.shape[-1] != self.out_channels:
+            x = Conv1x1(self.out_channels, dtype=self.dtype, name="skip")(x)
+        return x + h
+
+
+class Downsample(nn.Module):
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return Conv3x3(self.out_channels, stride=2, dtype=self.dtype, name="op")(x)
+
+
+class Upsample(nn.Module):
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = upsample_nearest_2x(x)
+        return Conv3x3(self.out_channels, dtype=self.dtype, name="conv")(x)
+
+
+class UNetModel(nn.Module):
+    in_channels: int = 9
+    ctrl_channels: int = 0
+    model_channels: int = 320
+    out_channels: int = 4
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (4, 2, 1)
+    channel_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_head_channels: int = 64
+    num_heads: int = -1
+    transformer_depth: int = 1
+    t_context_dim: Optional[int] = 2048
+    v_context_dim: Optional[int] = None
+    adm_in_channels: Optional[int] = None
+    use_label: Optional[int] = None
+    use_scale_shift_norm: bool = False
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @property
+    def plan(self) -> UNetPlan:
+        return unet_plan(
+            self.model_channels,
+            self.num_res_blocks,
+            self.attention_resolutions,
+            self.channel_mult,
+            self.num_head_channels,
+            self.num_heads,
+        )
+
+    def _make_layer(self, spec: LayerSpec, name: str):
+        if spec.kind == "conv":
+            return Conv3x3(spec.out_ch, dtype=self.dtype, name=name)
+        if spec.kind == "res":
+            return ResBlock(
+                spec.out_ch,
+                use_scale_shift_norm=self.use_scale_shift_norm,
+                dtype=self.dtype,
+                name=name,
+            )
+        if spec.kind == "attn":
+            return SpatialTransformer(
+                spec.heads,
+                spec.dim_head,
+                depth=self.transformer_depth,
+                t_context_dim=self.t_context_dim,
+                v_context_dim=self.v_context_dim,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                name=name,
+            )
+        if spec.kind == "down":
+            return Downsample(spec.out_ch, dtype=self.dtype, name=name)
+        if spec.kind == "up":
+            return Upsample(spec.out_ch, dtype=self.dtype, name=name)
+        raise ValueError(spec.kind)
+
+    def setup(self):
+        plan = self.plan
+        time_dim = self.model_channels * 4
+        self.time_embed_0 = Dense(time_dim, dtype=self.dtype, name="time_embed_0")
+        self.time_embed_2 = Dense(time_dim, dtype=self.dtype, name="time_embed_2")
+
+        if self.use_label is not None:
+            self.label_embed_0 = Dense(time_dim, dtype=self.dtype, name="label_embed_0")
+            self.label_embed_2 = Dense(time_dim, dtype=self.dtype, name="label_embed_2")
+
+        if self.ctrl_channels > 0:
+            # ControlNet-style hint encoder (openaimodel.py:363-380)
+            widths = [16, 16, 32, 32, 96, 96, 256]
+            convs = []
+            for wi, w in enumerate(widths):
+                convs.append(Conv3x3(w, dtype=self.dtype, name=f"ctrl_conv_{wi}"))
+            convs.append(
+                Conv3x3(self.model_channels, zero_init=True, dtype=self.dtype, name="ctrl_conv_out")
+            )
+            self.ctrl_convs = convs
+
+        self.in_layers = [
+            [self._make_layer(s, f"input_blocks_{i}_{j}") for j, s in enumerate(block)]
+            for i, block in enumerate(plan.input_blocks)
+        ]
+        self.mid_layers = [
+            self._make_layer(s, f"middle_block_{j}") for j, s in enumerate(plan.middle_block)
+        ]
+        self.out_layers_ = [
+            [self._make_layer(s, f"output_blocks_{i}_{j}") for j, s in enumerate(block)]
+            for i, block in enumerate(plan.output_blocks)
+        ]
+
+        self.out_norm = GroupNorm32(name="out_norm")
+        self.out_conv = Conv3x3(self.out_channels, zero_init=True, dtype=self.dtype, name="out_conv")
+
+    def _apply_block(
+        self,
+        layers,
+        specs,
+        prefix: str,
+        h: Array,
+        emb: Array,
+        t_context,
+        v_context,
+        capture_attn: bool,
+        attn_maps: Dict[str, Any],
+    ) -> Array:
+        for j, (layer, spec) in enumerate(zip(layers, specs)):
+            if spec.kind == "res":
+                h = layer(h, emb)
+            elif spec.kind == "attn":
+                h, maps = layer(h, t_context, v_context, capture_attn)
+                if capture_attn:
+                    for d, m in enumerate(maps):
+                        if m is None:
+                            continue
+                        key = f"{prefix}.{j}.t_attn" if self.transformer_depth == 1 else f"{prefix}.{j}.blocks_{d}.t_attn"
+                        attn_maps[key] = m
+            else:
+                h = layer(h)
+        return h
+
+    def __call__(
+        self,
+        x: Array,
+        timesteps: Array,
+        t_context: Optional[Array] = None,
+        v_context: Optional[Array] = None,
+        y: Optional[Array] = None,
+        capture_attn: bool = False,
+    ) -> Tuple[Array, Dict[str, Array]]:
+        """x: (B, H, W, in_channels[+ctrl]); timesteps: (B,) → ((B,H,W,out), attn maps)."""
+        plan = self.plan
+        t_emb = timestep_embedding(timesteps, self.model_channels).astype(self.dtype)
+        emb = self.time_embed_2(silu(self.time_embed_0(t_emb)))
+        if self.use_label is not None:
+            assert y is not None
+            emb = emb + self.label_embed_2(silu(self.label_embed_0(y.astype(self.dtype))))
+
+        x = x.astype(self.dtype)
+        if t_context is not None:
+            t_context = t_context.astype(self.dtype)
+        if v_context is not None:
+            v_context = v_context.astype(self.dtype)
+
+        attn_maps: Dict[str, Array] = {}
+        hs = []
+        if self.ctrl_channels > 0:
+            h, ctrl_h = (
+                x[..., : self.in_channels],
+                x[..., self.in_channels : self.in_channels + self.ctrl_channels],
+            )
+        else:
+            h = x
+
+        for i, (layers, specs) in enumerate(zip(self.in_layers, plan.input_blocks)):
+            h = self._apply_block(
+                layers, specs, f"input_blocks.{i}", h, emb, t_context, v_context,
+                capture_attn, attn_maps,
+            )
+            if self.ctrl_channels > 0 and i == 0:
+                for conv in self.ctrl_convs[:-1]:
+                    ctrl_h = silu(conv(ctrl_h))
+                h = h + self.ctrl_convs[-1](ctrl_h)
+            hs.append(h)
+
+        h = self._apply_block(
+            self.mid_layers, plan.middle_block, "middle_block", h, emb,
+            t_context, v_context, capture_attn, attn_maps,
+        )
+
+        for i, (layers, specs) in enumerate(zip(self.out_layers_, plan.output_blocks)):
+            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            h = self._apply_block(
+                layers, specs, f"output_blocks.{i}", h, emb, t_context, v_context,
+                capture_attn, attn_maps,
+            )
+
+        h = self.out_norm(h)
+        h = silu(h)
+        h = self.out_conv(h)
+        return h.astype(jnp.float32), attn_maps

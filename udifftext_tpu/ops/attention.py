@@ -1,0 +1,53 @@
+"""Scaled-dot-product attention dispatch.
+
+Replaces the reference's xformers `memory_efficient_attention`
+(sgm/modules/attention.py:246-248). On TPU the 4096-token latent self-attn
+runs through the Pallas flash-attention kernel (ops/flash_attention.py);
+elsewhere (CPU tests, odd shapes) it falls back to a plain XLA einsum
+softmax, which XLA fuses well for these sizes.
+
+Shapes: q (B, Nq, H, D), k/v (B, Nk, H, D) → out (B, Nq, H, D).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _xla_sdpa(q: Array, k: Array, v: Array, scale: Optional[float] = None) -> Array:
+    d = q.shape[-1]
+    scale = d**-0.5 if scale is None else scale
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=prec) * scale
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v, precision=prec)
+
+
+def _flash_ok(q: Array, k: Array) -> bool:
+    # Pallas kernel constraints: TPU backend, seq multiples of block sizes,
+    # head_dim that tiles cleanly.
+    if jax.default_backend() != "tpu":
+        return False
+    nq, nk, d = q.shape[1], k.shape[1], q.shape[-1]
+    return nq % 128 == 0 and nk % 128 == 0 and d in (64, 128)
+
+
+def sdpa(
+    q: Array,
+    k: Array,
+    v: Array,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> Array:
+    """Fused attention; `impl` in {auto, xla, flash}."""
+    if impl == "flash" or (impl == "auto" and _flash_ok(q, k)):
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    return _xla_sdpa(q, k, v, scale=scale)

@@ -1,0 +1,104 @@
+"""Pallas TPU flash attention (non-causal, no mask).
+
+Covers the UNet latent self-attention (up to 4096 tokens, head_dim 64) and
+the VAE mid-block attention — the paths the reference offloads to xformers
+(sgm/modules/attention.py:246-248, sgm/modules/diffusionmodules/model.py:
+246-248). Online-softmax accumulation over KV blocks keeps VMEM bounded and
+the (bq, d) @ (d, bk) matmuls on the MXU.
+
+Layout: q, k, v are (B, N, H, D); internally fused over (B*H) as the grid's
+leading axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
+    q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
+    n_k = k_ref.shape[1]
+    bq, d = q.shape
+
+    acc = jnp.zeros((bq, d), jnp.float32)
+    m = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+
+    num_kv = n_k // block_k
+    for j in range(num_kv):
+        k = k_ref[0, j * block_k : (j + 1) * block_k, :].astype(jnp.float32)
+        v = v_ref[0, j * block_k : (j + 1) * block_k, :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bk)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p,
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m = m_new
+
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def flash_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 512,
+) -> Array:
+    """q (B, Nq, H, D), k/v (B, Nk, H, D) → (B, Nq, H, D)."""
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    scale = d**-0.5 if scale is None else scale
+    block_q = min(block_q, nq)
+    block_k = min(block_k, nk)
+    assert nq % block_q == 0 and nk % block_k == 0
+
+    # (B, N, H, D) -> (B*H, N, D)
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, nq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+
+    grid = (b * h, nq // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * nq * nk * d,
+            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize * 2,
+            transcendentals=b * h * nq * nk,
+        ),
+    )(qf, kf, vf)
+
+    return out.reshape(b, h, nq, d).transpose(0, 2, 1, 3)

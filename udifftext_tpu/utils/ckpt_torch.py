@@ -1,0 +1,344 @@
+"""Torch-checkpoint → flax-parameter converters.
+
+Loads the published UDiffText/SD2 checkpoints into the TPU-native models:
+  - `512-inpainting-ema.ckpt` / fine-tuned UDiffText `.ckpt` (Lightning
+    pickle with a `state_dict`; UNet under `model.diffusion_model.`,
+    reference sgm/models/diffusion.py:87-105)
+  - `AE_inpainting_2.safetensors` (VAE, autoencoder.py:49-72)
+  - LabelEncoder `.ckpt` (encoders/modules.py:1106-1107)
+  - PARSeq `parseq-bb5792a6.pt`, ViTSTR `.pth` (predictors/model.py:12-14,
+    encoders/modules.py:1049-1050)
+
+Transforms: Conv2d OIHW→HWIO, Linear (out,in)→(in,out), norm weight→scale.
+Key translation is rule-based on the torch module-path grammar; the flax path
+layout is pinned by the models' explicit `name=` assignments (models/unet.py,
+models/vae.py, models/label_encoder.py), so translation cannot drift from the
+model topology.
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+import zipfile
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Loading raw torch state dicts (torch-free where possible)
+# ---------------------------------------------------------------------------
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a `.ckpt`/`.pt`/`.pth` (torch pickle) or `.safetensors` file into
+    a flat dict of numpy arrays. Uses torch (CPU build) when present."""
+    path = str(path)
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in obj.items() if hasattr(v, "numpy") or hasattr(v, "detach")}
+
+
+def strip_prefix(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+# ---------------------------------------------------------------------------
+# Value transforms
+# ---------------------------------------------------------------------------
+
+
+def t_conv(w: np.ndarray) -> np.ndarray:
+    """OIHW → HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def t_lin(w: np.ndarray) -> np.ndarray:
+    """(out, in) → (in, out)."""
+    return np.transpose(w, (1, 0))
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _leaf(kind: str, wb: str) -> Tuple[str, ...]:
+    """Map (torch param kind, weight|bias) to the flax leaf path suffix."""
+    if kind == "conv":
+        return ("Conv_0", "kernel" if wb == "weight" else "bias")
+    if kind == "lin":
+        return ("Dense_0", "kernel" if wb == "weight" else "bias")
+    if kind == "gn":
+        return ("GroupNorm_0", "scale" if wb == "weight" else "bias")
+    if kind == "ln":
+        return ("LayerNorm_0", "scale" if wb == "weight" else "bias")
+    raise ValueError(kind)
+
+
+def _val(kind: str, wb: str, v: np.ndarray) -> np.ndarray:
+    if wb == "weight":
+        if kind == "conv":
+            return t_conv(v)
+        if kind == "lin":
+            return t_lin(v)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# UNet
+# ---------------------------------------------------------------------------
+
+_RES_SUB = {
+    "in_layers.0": ("in_norm", "gn"),
+    "in_layers.2": ("in_conv", "conv"),
+    "emb_layers.1": ("emb_proj", "lin"),
+    "out_layers.0": ("out_norm", "gn"),
+    "out_layers.3": ("out_conv", "conv"),
+    "skip_connection": ("skip", "conv"),
+}
+
+_ATTN_INNER = {
+    "attn1.to_q": ("attn1", "to_q", "lin"),
+    "attn1.to_k": ("attn1", "to_k", "lin"),
+    "attn1.to_v": ("attn1", "to_v", "lin"),
+    "attn1.to_out.0": ("attn1", "to_out", "lin"),
+    "t_attn.to_q": ("t_attn", "to_q", "lin"),
+    "t_attn.to_k": ("t_attn", "to_k", "lin"),
+    "t_attn.to_v": ("t_attn", "to_v", "lin"),
+    "t_attn.to_out.0": ("t_attn", "to_out", "lin"),
+    "v_attn.to_q": ("v_attn", "to_q", "lin"),
+    "v_attn.to_k": ("v_attn", "to_k", "lin"),
+    "v_attn.to_v": ("v_attn", "to_v", "lin"),
+    "v_attn.to_out.0": ("v_attn", "to_out", "lin"),
+    "ff.net.0.proj": ("ff", "proj", "lin"),
+    "ff.net.2": ("ff", "out", "lin"),
+    "norm1": ("norm1", None, "ln"),
+    "norm3": ("norm3", None, "ln"),
+    "t_norm": ("t_norm", None, "ln"),
+    "v_norm": ("v_norm", None, "ln"),
+}
+
+
+def _convert_spatial_transformer(
+    rest: str, wb: str, v: np.ndarray, base: Tuple[str, ...], out: Dict
+) -> bool:
+    """rest is the torch path inside a SpatialTransformer module."""
+    if rest == "norm":
+        _set(out, base + ("norm",) + _leaf("gn", wb), v)
+        return True
+    if rest in ("proj_in", "proj_out"):
+        # use_linear_in_transformer=True ⇒ Linear; conv variant has 4D weight
+        kind = "lin" if v.ndim <= 2 else "conv"
+        _set(out, base + (rest,) + _leaf(kind, wb), _val(kind, wb, v))
+        return True
+    if rest.startswith("transformer_blocks."):
+        parts = rest.split(".")
+        d = parts[1]
+        inner = ".".join(parts[2:])
+        if inner in _ATTN_INNER:
+            mod, sub, kind = _ATTN_INNER[inner]
+            path = (f"blocks_{d}", mod) + ((sub,) if sub else ())
+            _set(out, base + path + _leaf(kind, wb), _val(kind, wb, v))
+            return True
+    return False
+
+
+def convert_unet(sd: Dict[str, np.ndarray], prefix: str = "model.diffusion_model.") -> Dict:
+    """Translate a torch UnifiedUNetModel state dict into flax params."""
+    sd = strip_prefix(sd, prefix) if prefix else dict(sd)
+    out: Dict = {}
+    unknown = []
+    for key, v in sd.items():
+        parts = key.split(".")
+        wb = parts[-1]
+        if wb not in ("weight", "bias"):
+            unknown.append(key)
+            continue
+        body = ".".join(parts[:-1])
+
+        if body in ("time_embed.0", "time_embed.2"):
+            _set(out, (f"time_embed_{body[-1]}",) + _leaf("lin", wb), _val("lin", wb, v))
+            continue
+        if body in ("label_emb.0.0", "label_emb.0.2"):
+            _set(out, (f"label_embed_{body[-1]}",) + _leaf("lin", wb), _val("lin", wb, v))
+            continue
+        if body == "out.0":
+            _set(out, ("out_norm",) + _leaf("gn", wb), v)
+            continue
+        if body == "out.2":
+            _set(out, ("out_conv",) + _leaf("conv", wb), _val("conv", wb, v))
+            continue
+        if body.startswith("ctrl_block."):
+            idx = int(body.split(".")[1])
+            # torch ctrl_block Sequential: convs at even indices 0..12, zero conv at 14
+            ci = idx // 2
+            name = "ctrl_conv_out" if ci == 7 else f"ctrl_conv_{ci}"
+            _set(out, (name,) + _leaf("conv", wb), _val("conv", wb, v))
+            continue
+
+        for group in ("input_blocks", "output_blocks", "middle_block"):
+            if not body.startswith(group + "."):
+                continue
+            parts2 = body[len(group) + 1 :].split(".")
+            if group == "middle_block":
+                j = parts2[0]
+                base = (f"middle_block_{j}",)
+                rest = ".".join(parts2[1:])
+            else:
+                i, j = parts2[0], parts2[1]
+                base = (f"{group}_{i}_{j}",)
+                rest = ".".join(parts2[2:])
+
+            if rest == "":  # bare conv: input_blocks.0.0.{weight,bias}
+                _set(out, base + _leaf("conv", wb), _val("conv", wb, v))
+                break
+            if rest in _RES_SUB:
+                name, kind = _RES_SUB[rest]
+                _set(out, base + (name,) + _leaf(kind, wb), _val(kind, wb, v))
+                break
+            if rest == "op":  # Downsample conv
+                _set(out, base + ("op",) + _leaf("conv", wb), _val("conv", wb, v))
+                break
+            if rest == "conv":  # Upsample conv
+                _set(out, base + ("conv",) + _leaf("conv", wb), _val("conv", wb, v))
+                break
+            if _convert_spatial_transformer(rest, wb, v, base, out):
+                break
+            unknown.append(key)
+            break
+        else:
+            unknown.append(key)
+    return {"params": out, "unknown": unknown}
+
+
+# ---------------------------------------------------------------------------
+# VAE
+# ---------------------------------------------------------------------------
+
+_VAE_RES_SUB = {
+    "norm1": ("norm1", "gn"),
+    "conv1": ("conv1", "conv"),
+    "norm2": ("norm2", "gn"),
+    "conv2": ("conv2", "conv"),
+    "nin_shortcut": ("nin_shortcut", "conv"),
+    "conv_shortcut": ("nin_shortcut", "conv"),
+}
+
+_VAE_ATTN_SUB = {
+    "norm": ("norm", "gn"),
+    "q": ("q", "conv"),
+    "k": ("k", "conv"),
+    "v": ("v", "conv"),
+    "proj_out": ("proj_out", "conv"),
+}
+
+
+def _convert_vae_side(side_sd: Dict[str, np.ndarray], side: str, out: Dict, unknown):
+    """side ∈ {encoder, decoder}; torch keys relative to the side module."""
+    updown = "down" if side == "encoder" else "up"
+    for key, v in side_sd.items():
+        parts = key.split(".")
+        wb = parts[-1]
+        body = parts[:-1]
+        base = (side,)
+        if body[0] in ("conv_in", "conv_out"):
+            _set(out, base + (body[0],) + _leaf("conv", wb), _val("conv", wb, v))
+        elif body[0] == "norm_out":
+            _set(out, base + ("norm_out",) + _leaf("gn", wb), v)
+        elif body[0] == "mid":
+            mod = body[1]  # block_1 | attn_1 | block_2
+            sub = body[2]
+            table = _VAE_ATTN_SUB if mod == "attn_1" else _VAE_RES_SUB
+            name, kind = table[sub]
+            _set(out, base + (f"mid_{mod}", name) + _leaf(kind, wb), _val(kind, wb, v))
+        elif body[0] == updown:
+            i = body[1]
+            if body[2] == "block":
+                j = body[3]
+                name, kind = _VAE_RES_SUB[body[4]]
+                _set(out, base + (f"{updown}_{i}_block_{j}", name) + _leaf(kind, wb), _val(kind, wb, v))
+            elif body[2] == "attn":
+                j = body[3]
+                name, kind = _VAE_ATTN_SUB[body[4]]
+                _set(out, base + (f"{updown}_{i}_attn_{j}", name) + _leaf(kind, wb), _val(kind, wb, v))
+            elif body[2] in ("downsample", "upsample"):
+                if side == "encoder":
+                    # VAEDownsample uses a bare nn.Conv named "conv"
+                    _set(
+                        out,
+                        base + (f"{updown}_{i}_{body[2]}", "conv", "kernel" if wb == "weight" else "bias"),
+                        _val("conv", wb, v),
+                    )
+                else:
+                    _set(out, base + (f"{updown}_{i}_{body[2]}", "conv") + _leaf("conv", wb), _val("conv", wb, v))
+            else:
+                unknown.append(f"{side}.{key}")
+        else:
+            unknown.append(f"{side}.{key}")
+
+
+def convert_vae(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    sd = strip_prefix(sd, prefix) if prefix else dict(sd)
+    out: Dict = {}
+    unknown = []
+    for side in ("encoder", "decoder"):
+        _convert_vae_side(strip_prefix(sd, side + "."), side, out, unknown)
+    for qc in ("quant_conv", "post_quant_conv"):
+        for wb in ("weight", "bias"):
+            k = f"{qc}.{wb}"
+            if k in sd:
+                _set(out, (qc,) + _leaf("conv", wb), _val("conv", wb, sd[k]))
+    return {"params": out, "unknown": unknown}
+
+
+# ---------------------------------------------------------------------------
+# LabelEncoder
+# ---------------------------------------------------------------------------
+
+
+def convert_label_encoder(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    """Core LabelEncoder weights (embedding + transformer encoder) only; the
+    pretraining heads are converted separately when present."""
+    sd = strip_prefix(sd, prefix) if prefix else dict(sd)
+    out: Dict = {}
+    unknown = []
+    for key, v in sd.items():
+        if key == "label_embedding.weight":
+            _set(out, ("label_embedding", "embedding"), v)
+            continue
+        if key == "pos_embedding.pe":
+            # fixed sinusoidal buffer — recomputed in the flax model
+            continue
+        if key.startswith("encoder.layers."):
+            parts = key.split(".")
+            n = parts[2]
+            sub = ".".join(parts[3:-1])
+            wb = parts[-1]
+            base = (f"layers_{n}",)
+            if sub == "self_attn" and parts[-1] in ("in_proj_weight", "in_proj_bias"):
+                wb = "weight" if parts[-1].endswith("weight") else "bias"
+                _set(out, base + ("self_attn", "in_proj") + _leaf("lin", wb), _val("lin", wb, v))
+            elif sub == "self_attn.out_proj":
+                _set(out, base + ("self_attn", "out_proj") + _leaf("lin", wb), _val("lin", wb, v))
+            elif sub in ("linear1", "linear2"):
+                _set(out, base + (sub,) + _leaf("lin", wb), _val("lin", wb, v))
+            elif sub in ("norm1", "norm2"):
+                # flax LabelEncoder uses nn.LayerNorm directly (no wrapper level)
+                _set(out, base + (sub, "scale" if wb == "weight" else "bias"), v)
+            else:
+                unknown.append(key)
+            continue
+        unknown.append(key)
+    return {"params": out, "unknown": unknown}
