@@ -1,0 +1,151 @@
+"""Dataset pipeline tests on synthetic fixtures (host-only, no device)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image, ImageDraw, ImageFont
+
+from udifftext_tpu.charset import CHARSET
+from udifftext_tpu.data import augment as A
+from udifftext_tpu.data.datasets import (
+    ICDAR13Dataset,
+    LabelDataset,
+    LAIONOCRDataset,
+    initialize_word_dict,
+)
+from udifftext_tpu.data.loader import DataLoader, collate
+
+FONT = os.path.join(
+    os.path.dirname(__import__("matplotlib").__file__),
+    "mpl-data/fonts/ttf/DejaVuSans.ttf",
+)
+WORDS = os.path.join(
+    os.path.dirname(__import__("udifftext_tpu").__file__), "data/assets/words.txt"
+)
+
+
+def test_word_dict_buckets():
+    wd = initialize_word_dict(WORDS)
+    assert all(len(w) == l for l, ws in wd.items() for w in ws)
+    assert len(wd[3]) > 10
+
+
+def _base_cfg(root):
+    return {
+        "data_root": str(root),
+        "H": 128,
+        "W": 128,
+        "word_len": [1, 12],
+        "seq_len": 12,
+        "mask_min_ratio": 0.01,
+        "seg_min_ratio": 0.001,
+        "aug_text_enabled": False,
+        "aug_text_ratio": 0.0,
+        "use_cached": False,
+        "length": 4,
+        "words_path": WORDS,
+        "font_path": FONT,
+        "seed": 0,
+    }
+
+
+def test_icdar13_dataset(tmp_path):
+    root = tmp_path / "ICDAR13" / "val"
+    (root / "images").mkdir(parents=True)
+    (root / "annos").mkdir()
+    img = Image.new("RGB", (200, 150), (120, 120, 120))
+    ImageDraw.Draw(img).text((50, 60), "cat", fill=(255, 255, 255),
+                             font=ImageFont.truetype(FONT, 24))
+    img.save(root / "images" / "img1.jpg")
+    with open(root / "annos" / "gt_img1.txt", "w") as f:
+        f.write('48, 55, 110, 90, "cat"\n')
+
+    ds = ICDAR13Dataset(_base_cfg(tmp_path), "val")
+    assert len(ds) == 1
+    s = ds[0]
+    assert s["image"].shape == (128, 128, 3)
+    assert s["mask"].shape == (128, 128, 1)
+    assert s["masked"].shape == (128, 128, 3)
+    assert s["label"] == "cat"
+    assert s["seg_mask"][:3].sum() == 3 and s["seg_mask"][3:].sum() == 0
+    assert s["image"].min() >= -1.0 and s["image"].max() <= 1.0
+    # mask==1 inside the text region
+    t, b, l, r = s["r_bbox"]
+    assert s["mask"][(t + b) // 2, (l + r) // 2, 0] == 1.0
+    # masked image zeroed under the mask
+    assert abs(s["masked"][(t + b) // 2, (l + r) // 2]).max() == 0.0
+
+
+def test_laion_ocr_dataset(tmp_path):
+    d = tmp_path / "LAION-OCR" / "train" / "00001"
+    d.mkdir(parents=True)
+    img = Image.new("RGB", (512, 512), (100, 100, 100))
+    img.save(d / "image.jpg")
+    # charseg id map: two characters 'a','b' side by side
+    seg = np.zeros((512, 512), np.uint8)
+    ida = CHARSET.find("a") + 1
+    idb = CHARSET.find("b") + 1
+    seg[200:260, 100:160] = ida
+    seg[200:260, 200:260] = idb
+    np.save(d / "charseg.npy", seg)
+    with open(d / "ocr.txt", "w") as f:
+        f.write("ab 90,190,270,190,270,270,90,270 0.9\n")
+
+    ds = LAIONOCRDataset(_base_cfg(tmp_path), "train")
+    s = ds[0]
+    assert s["seg"].shape == (128, 128, 12)
+    assert s["ref"].shape == (128, 128, 3)
+    # char channels 0/1 nonempty, rest empty
+    assert s["seg"][..., 0].sum() > 0
+    assert s["seg"][..., 1].sum() > 0
+    assert s["seg"][..., 2:].sum() == 0
+    assert s["label"] == "ab"
+
+
+def test_charseg_repeated_chars():
+    seg = np.zeros((256, 256), np.uint8)
+    ida = CHARSET.find("a") + 1
+    seg[100:130, 40:70] = ida
+    seg[100:130, 120:150] = ida
+    out = A.charseg_from_ids(seg, "aa", 12)
+    assert out is not None
+    # left-to-right assignment: channel 0 left blob, channel 1 right blob
+    ys0, xs0 = np.nonzero(out[0])
+    ys1, xs1 = np.nonzero(out[1])
+    assert xs0.mean() < xs1.mean()
+
+
+def test_label_dataset():
+    ds = LabelDataset(size=64, length=10, font_path=FONT, min_len=1, max_len=12, seed=1)
+    s = ds[0]
+    assert s["image"].shape == (64, 64, 1)
+    assert 1 <= len(s["text"]) <= 12
+    assert s["image"].max() > 0  # text rendered
+
+
+def test_loader_collate_and_label_ids():
+    ds = LabelDataset(size=32, length=8, font_path=FONT, seed=2)
+    dl = DataLoader(ds, batch_size=4, shuffle=True, max_label_len=12, prefetch=2, seed=0)
+    batches = list(dl)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["image"].shape == (4, 32, 32, 1)
+    assert b["label_ids"].shape == (4, 12)
+    assert b["label_ids"].dtype == np.int32
+
+
+def test_zoom_to_mask_recenters():
+    image = np.zeros((400, 400, 3), np.uint8)
+    mask = np.ones((400, 400), np.uint8)
+    mask[190:210, 190:210] = 0
+    bbox = (190, 210, 190, 210)
+    area = 400.0
+    img2, mask2, _, bb = A.zoom_to_mask(image, mask, bbox, area, min_ratio=0.01)
+    # window should be ~sqrt(400/0.04)=100 on each side
+    assert img2.shape[0] <= 400 and img2.shape[0] >= 20
+    t, b, l, r = bb
+    assert 0 <= t < b <= img2.shape[0]
+    assert 0 <= l < r <= img2.shape[1]
+    assert (mask2[t:b, l:r] == 0).all()

@@ -1,0 +1,115 @@
+"""End-to-end engine tests on tiny models (CPU): training loss and the full
+sampling path (init-noise search, CFG scan, AAE refinement)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from udifftext_tpu import charset
+from udifftext_tpu.diffusion.loss import FullLossConfig
+from udifftext_tpu.engine import DiffusionEngine
+from udifftext_tpu.models.label_encoder import LabelEncoder
+from udifftext_tpu.models.unet import UNetModel
+from udifftext_tpu.models.vae import AutoencoderKL, DDConfig
+
+IMG = 32  # image side
+LAT = 16  # latent side (one VAE downsample)
+SEQ = 12
+
+
+@pytest.fixture(scope="module")
+def engine_and_params():
+    unet = UNetModel(
+        in_channels=9, out_channels=4, model_channels=32, num_res_blocks=1,
+        attention_resolutions=(2, 1), channel_mult=(1, 2), num_head_channels=8,
+        t_context_dim=32,
+    )
+    vae = AutoencoderKL(
+        DDConfig(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                 attn_resolutions=(), in_channels=3, resolution=IMG, z_channels=4),
+        embed_dim=4,
+    )
+    le = LabelEncoder(max_len=SEQ, emb_dim=32, n_heads=4, n_trans_layers=2,
+                      dim_feedforward=64)
+    eng = DiffusionEngine(
+        unet=unet, vae=vae, label_encoder=le,
+        loss_cfg=FullLossConfig(min_attn_size=8),
+        mask_multiplier=0.5, latent_factor=2,
+    )
+
+    k = jax.random.PRNGKey(0)
+    x_lat = jnp.zeros((1, LAT, LAT, 9))
+    params = {
+        "unet": unet.init(k, x_lat, jnp.zeros((1,)), jnp.zeros((1, SEQ, 32))),
+        "vae": vae.init(k, jnp.zeros((1, IMG, IMG, 3))),
+        "label_encoder": le.init(k, jnp.zeros((1, SEQ), jnp.int32)),
+    }
+    return eng, params
+
+
+def _batch(b=2):
+    rng = np.random.RandomState(0)
+    mask = np.zeros((b, IMG, IMG, 1), np.float32)
+    mask[:, 8:24, 8:24] = 1.0
+    seg = np.zeros((b, IMG, IMG, SEQ), np.float32)
+    seg[:, 10:20, 10:14, 0] = 1.0
+    seg[:, 10:20, 16:20, 1] = 1.0
+    seg_mask = np.zeros((b, SEQ), np.float32)
+    seg_mask[:, :2] = 1.0
+    image = rng.randn(b, IMG, IMG, 3).astype(np.float32).clip(-1, 1)
+    return {
+        "image": jnp.asarray(image),
+        "masked": jnp.asarray(image * (1 - mask)),
+        "mask": jnp.asarray(mask),
+        "seg": jnp.asarray(seg),
+        "seg_mask": jnp.asarray(seg_mask),
+        "label_ids": jnp.asarray(charset.encode_labels(["ab"] * b, SEQ)),
+    }
+
+
+def test_training_loss_finite(engine_and_params):
+    eng, params = engine_and_params
+    loss, loss_dict = jax.jit(eng.loss)(params, _batch(), jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert "loss/diff_loss" in loss_dict and "loss/local_loss" in loss_dict
+    assert np.isfinite(float(loss_dict["loss/local_loss"]))
+
+
+def test_training_loss_grads_flow(engine_and_params):
+    eng, params = engine_and_params
+
+    def scalar_loss(p):
+        l, _ = eng.loss(p, _batch(1), jax.random.PRNGKey(2))
+        return l
+
+    grads = jax.grad(scalar_loss)(params)
+    g = jax.tree.leaves(grads["unet"])
+    total = sum(float(jnp.sum(jnp.abs(x))) for x in g)
+    assert np.isfinite(total) and total > 0
+
+
+def test_sample_fast_path(engine_and_params):
+    eng, params = engine_and_params
+    batch = _batch(1)
+    img, aux = eng.sample(
+        params, batch, jax.random.PRNGKey(3), num_steps=2, noise_iters=2
+    )
+    assert img.shape == (1, IMG, IMG, 3)
+    assert float(jnp.min(img)) >= 0.0 and float(jnp.max(img)) <= 1.0
+    assert np.all(np.isfinite(np.asarray(img)))
+
+
+def test_sample_aae_detailed(engine_and_params):
+    eng, params = engine_and_params
+    batch = _batch(1)
+    img, aux = eng.sample(
+        params, batch, jax.random.PRNGKey(4), num_steps=3, noise_iters=0,
+        aae_enabled=True, detailed=True,
+    )
+    assert img.shape == (1, IMG, IMG, 3)
+    assert np.all(np.isfinite(np.asarray(img)))
+    # middle-step maps captured for every t_attn layer
+    assert any(k.endswith("t_attn") for k in aux)
+    for k, v in aux.items():
+        assert np.all(np.isfinite(np.asarray(v)))

@@ -1,0 +1,195 @@
+"""Builders: reference YAML model graphs → TPU-native engine objects.
+
+Consumes the `configs/{train,test}/textdesign_sd_2.yaml` schema of the
+reference unchanged (target/params trees) and materializes a
+`DiffusionEngine` plus sampler/guider settings. This is the compatibility
+layer that keeps the published config surface identical (BASELINE.json
+north star) while the internals stay functional.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+
+from .diffusion.denoiser import DiscreteDenoiser
+from .diffusion.loss import FullLossConfig
+from .diffusion.schedules import (
+    DiscreteSampling,
+    EDMDiscretization,
+    LegacyDDPMDiscretization,
+)
+from .engine import DiffusionEngine
+from .models.label_encoder import LabelEncoder
+from .models.unet import UNetModel
+from .models.vae import AutoencoderKL, DDConfig
+
+
+def _get(cfg, key, default=None):
+    if cfg is None:
+        return default
+    return cfg.get(key, default)
+
+
+def build_discretization(cfg) -> Any:
+    target = _get(cfg, "target", "")
+    params = _get(cfg, "params", {}) or {}
+    if "EDMDiscretization" in target:
+        return EDMDiscretization(**params)
+    return LegacyDDPMDiscretization(**params)
+
+
+def build_discrete_sampling(num_idx: int = 1000, discretization_config=None, **kw) -> DiscreteSampling:
+    disc = build_discretization(discretization_config) if discretization_config else LegacyDDPMDiscretization()
+    return DiscreteSampling(num_idx=num_idx, discretization=disc)
+
+
+def build_discrete_denoiser(
+    num_idx: int = 1000,
+    weighting_config=None,
+    scaling_config=None,
+    discretization_config=None,
+    **kw,
+) -> DiscreteDenoiser:
+    def tag(cfg, default):
+        t = _get(cfg, "target", "")
+        for name in ("Eps", "V", "EDM", "Unit"):
+            if f"{name}Scaling" in t or f"{name}Weighting" in t:
+                return name.lower()
+        return default
+
+    disc = build_discretization(discretization_config) if discretization_config else LegacyDDPMDiscretization()
+    return DiscreteDenoiser(
+        scaling=tag(scaling_config, "eps"),
+        weighting=tag(weighting_config, "eps"),
+        num_idx=num_idx,
+        discretization=disc,
+    )
+
+
+def build_unet(params: Dict[str, Any], dtype=jnp.bfloat16) -> UNetModel:
+    """network_config params (textdesign_sd_2.yaml:24-38) → UNetModel."""
+    return UNetModel(
+        in_channels=params.get("in_channels", 9),
+        ctrl_channels=params.get("ctrl_channels", 0),
+        model_channels=params.get("model_channels", 320),
+        out_channels=params.get("out_channels", 4),
+        num_res_blocks=params.get("num_res_blocks", 2),
+        attention_resolutions=tuple(params.get("attention_resolutions", (4, 2, 1))),
+        channel_mult=tuple(params.get("channel_mult", (1, 2, 4, 4))),
+        num_head_channels=params.get("num_head_channels", 64),
+        num_heads=params.get("num_heads", -1),
+        transformer_depth=params.get("transformer_depth", 1),
+        t_context_dim=params.get("t_context_dim"),
+        v_context_dim=params.get("v_context_dim"),
+        adm_in_channels=params.get("adm_in_channels"),
+        use_label=params.get("use_label"),
+        use_scale_shift_norm=params.get("use_scale_shift_norm", False),
+        dtype=dtype,
+    )
+
+
+def build_vae(params: Dict[str, Any], dtype=jnp.float32) -> AutoencoderKL:
+    dd = params.get("ddconfig", {})
+    cfg = DDConfig(
+        ch=dd.get("ch", 128),
+        out_ch=dd.get("out_ch", 3),
+        ch_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
+        num_res_blocks=dd.get("num_res_blocks", 2),
+        attn_resolutions=tuple(dd.get("attn_resolutions", ()) or ()),
+        in_channels=dd.get("in_channels", 3),
+        resolution=dd.get("resolution", 256),
+        z_channels=dd.get("z_channels", 4),
+        double_z=dd.get("double_z", True),
+    )
+    return AutoencoderKL(cfg, embed_dim=params.get("embed_dim", 4), dtype=dtype)
+
+
+def build_label_encoder(params: Dict[str, Any], dtype=jnp.float32) -> LabelEncoder:
+    return LabelEncoder(
+        max_len=params.get("max_len", 12),
+        emb_dim=params.get("emb_dim", 2048),
+        n_heads=params.get("n_heads", 8),
+        n_trans_layers=params.get("n_trans_layers", 12),
+        dtype=dtype,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerSettings:
+    num_steps: int = 50
+    cfg_scale: float = 5.0
+    s_churn: float = 0.0
+    s_tmin: float = 0.0
+    s_tmax: float = 999.0
+    s_noise: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineBundle:
+    engine: DiffusionEngine
+    sampler: SamplerSettings
+    opt_keys: Tuple[str, ...] = ("t_attn", "t_norm")
+    ckpt_paths: Dict[str, Optional[str]] = dataclasses.field(default_factory=dict)
+
+
+def build_diffusion_engine(model_cfg: Dict[str, Any], unet_dtype=jnp.bfloat16) -> EngineBundle:
+    """model_cfg is the `model.params` node of a textdesign_sd_2.yaml graph."""
+    p = model_cfg
+
+    unet = build_unet(_get(p.get("network_config"), "params", {}) or {}, dtype=unet_dtype)
+    vae = build_vae(_get(p.get("first_stage_config"), "params", {}) or {})
+
+    label_params: Dict[str, Any] = {}
+    label_ckpt = None
+    vae_ckpt = _get(p.get("first_stage_config"), "params", {}).get("ckpt_path")
+    ucg_rate = 0.1
+    for emb in _get(p.get("conditioner_config"), "params", {}).get("emb_models", []):
+        if "LabelEncoder" in emb.get("target", ""):
+            label_params = emb.get("params", {}) or {}
+            label_ckpt = label_params.get("ckpt_path")
+            ucg_rate = emb.get("ucg_rate", 0.1)
+    label_encoder = build_label_encoder(label_params)
+
+    denoiser = build_discrete_denoiser(**(_get(p.get("denoiser_config"), "params", {}) or {}))
+
+    loss_p = _get(p.get("loss_fn_config"), "params", {}) or {}
+    loss_cfg = FullLossConfig(
+        seq_len=loss_p.get("seq_len", 12),
+        kernel_size=loss_p.get("kernel_size", 3),
+        gaussian_sigma=loss_p.get("gaussian_sigma", 1.0),
+        min_attn_size=loss_p.get("min_attn_size", 16),
+        lambda_local_loss=loss_p.get("lambda_local_loss", 0.01),
+        lambda_ocr_loss=loss_p.get("lambda_ocr_loss", 0.001),
+        ocr_enabled=loss_p.get("ocr_enabled", False),
+    )
+    sigma_sampler = build_discrete_sampling(
+        **(_get(loss_p.get("sigma_sampler_config"), "params", {}) or {})
+    )
+
+    samp_p = _get(p.get("sampler_config"), "params", {}) or {}
+    guider_p = _get(samp_p.get("guider_config"), "params", {}) or {}
+    sampler = SamplerSettings(
+        num_steps=samp_p.get("num_steps", 50),
+        cfg_scale=guider_p.get("scale", 5.0),
+    )
+
+    engine = DiffusionEngine(
+        unet=unet,
+        vae=vae,
+        label_encoder=label_encoder,
+        denoiser=denoiser,
+        discretization=build_discretization(samp_p.get("discretization_config")),
+        sigma_sampler=sigma_sampler,
+        loss_cfg=loss_cfg,
+        scale_factor=p.get("scale_factor", 0.18215),
+        ucg_rate_label=ucg_rate,
+    )
+    return EngineBundle(
+        engine=engine,
+        sampler=sampler,
+        opt_keys=tuple(p.get("opt_keys", ("t_attn", "t_norm"))),
+        ckpt_paths={"model": None, "vae": vae_ckpt, "label_encoder": label_ckpt},
+    )

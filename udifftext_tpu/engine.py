@@ -1,0 +1,347 @@
+"""DiffusionEngine — the system glue (training + sampling), TPU-native.
+
+Parity: sgm/models/diffusion.py (DiffusionEngine), wrappers.py:23-35
+(OpenAIWrapper channel concat), sampling.py:218-420 (EulerEDMSampler with
+init-noise search and attend-and-excite).
+
+Design: the engine is a thin immutable struct of modules + schedule configs;
+parameters live in an explicit pytree {unet, vae, label_encoder} passed into
+pure jitted functions. Sampling is a `lax.scan`; AAE's inner refinement is a
+`lax.while_loop` of `jax.grad` steps on the min-local attention loss — the
+JAX-native form of the reference's autograd hack (sampling.py:238-252).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .conditioning import Conditioner
+from .diffusion import loss as L
+from .diffusion import sampling as SP
+from .diffusion.denoiser import DiscreteDenoiser
+from .diffusion.guiders import VanillaCFG
+from .diffusion.schedules import DiscreteSampling, LegacyDDPMDiscretization, append_dims
+from .models.label_encoder import LabelEncoder
+from .models.unet import UNetModel
+from .models.vae import AutoencoderKL, DiagonalGaussian
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionEngine:
+    unet: UNetModel
+    vae: AutoencoderKL
+    label_encoder: LabelEncoder
+    denoiser: DiscreteDenoiser = DiscreteDenoiser()
+    discretization: LegacyDDPMDiscretization = LegacyDDPMDiscretization()
+    sigma_sampler: DiscreteSampling = DiscreteSampling()
+    loss_cfg: L.FullLossConfig = L.FullLossConfig()
+    scale_factor: float = 0.18215
+    ucg_rate_label: float = 0.1
+    mask_multiplier: float = 0.125
+    latent_factor: int = 8
+
+    @property
+    def conditioner(self) -> Conditioner:
+        return Conditioner(
+            self.label_encoder, self.vae,
+            scale_factor=self.scale_factor,
+            ucg_rate_label=self.ucg_rate_label,
+            mask_multiplier=self.mask_multiplier,
+        )
+
+    # -- first stage (reference diffusion.py:124-136) ------------------------
+
+    def encode_first_stage(self, params, x: Array, rng: Optional[jax.Array] = None) -> Array:
+        moments = self.vae.apply(params["vae"], x, method=AutoencoderKL.encode_moments)
+        post = DiagonalGaussian(moments)
+        z = post.sample(rng) if rng is not None else post.mode()
+        return self.scale_factor * z
+
+    def decode_first_stage(self, params, z: Array) -> Array:
+        return self.vae.apply(params["vae"], z / self.scale_factor, method=AutoencoderKL.decode)
+
+    # -- network wrapper (OpenAIWrapper parity) ------------------------------
+
+    def network(self, params, capture_attn: bool = False):
+        def net(x: Array, c_noise: Array, cond: Dict[str, Any]):
+            xin = x
+            if "concat" in cond:
+                xin = jnp.concatenate(
+                    [x, cond["concat"].astype(x.dtype)], axis=-1
+                )
+            return self.unet.apply(
+                params["unet"], xin, c_noise,
+                cond.get("t_crossattn"), cond.get("v_crossattn"), cond.get("vector"),
+                capture_attn=capture_attn,
+            )
+        return net
+
+    # -- training loss (reference diffusion.py:138-149 + loss.py) -----------
+
+    def loss(self, params, batch: Dict[str, Array], rng: jax.Array):
+        rng_enc, rng_cond, rng_loss = jax.random.split(rng, 3)
+        x = self.encode_first_stage(params, batch["image"], rng_enc)
+        cond = self.conditioner(
+            params["label_encoder"], params["vae"], batch, rng=rng_cond, train=True
+        )
+        network = self.network(params, capture_attn=True)
+        return L.full_loss(
+            self.loss_cfg, self.denoiser, network, self.sigma_sampler,
+            cond, x, batch, rng_loss,
+        )
+
+    # -- sampling -------------------------------------------------------------
+
+    def conditionings(self, params, batch, rng=None, force_uc_zero_label=True):
+        return self.conditioner.get_unconditional_conditioning(
+            params["label_encoder"], params["vae"], batch,
+            rng=rng, force_uc_zero_label=force_uc_zero_label,
+        )
+
+    def make_denoise_fn(self, params, c, uc, cfg_scale: float, capture_attn: bool = False):
+        guider = VanillaCFG(cfg_scale)
+        network = self.network(params, capture_attn=capture_attn)
+
+        if not capture_attn:
+            def denoise(x, sigma):
+                x_in, s_in, c_in = guider.prepare_inputs(x, sigma, c, uc)
+                d, _ = self.denoiser(network, x_in, s_in, c_in)
+                return guider(d, sigma)
+            return denoise
+
+        def denoise_aux(x, sigma):
+            x_in, s_in, c_in = guider.prepare_inputs(x, sigma, c, uc)
+            d, aux = self.denoiser(network, x_in, s_in, c_in)
+            # loss consumers read the conditional half (sampling.py:341)
+            aux_c = {k: v[v.shape[0] // 2 :] for k, v in aux.items()}
+            return guider(d, sigma), aux_c
+
+        return denoise_aux
+
+    def get_init_noise(
+        self,
+        params,
+        c,
+        uc,
+        batch: Dict[str, Array],
+        rng: jax.Array,
+        shape: Tuple[int, ...],
+        cfg_scale: float = 5.0,
+        noise_iters: int = 10,
+    ) -> Array:
+        """Init-noise search (sampling.py:264-322): `noise_iters` candidates
+        each scored by the min-local attention loss after a 2-step rollout;
+        the best randn wins. Vectorized as a scan over candidates."""
+        if noise_iters <= 0:
+            return jax.random.normal(rng, shape)
+
+        sigmas = jnp.asarray(self.discretization(2, do_append_zero=True))
+        denoise = self.make_denoise_fn(params, c, uc, cfg_scale, capture_attn=True)
+        kernel = jnp.asarray(self.loss_cfg.kernel)
+        mask, seg_mask = batch["mask"], batch["seg_mask"]
+
+        def score(randn):
+            x = SP.init_latent(randn, sigmas)
+            loss = jnp.zeros((shape[0],), jnp.float32)
+            for i in range(2):
+                sigma = jnp.full((shape[0],), sigmas[i], x.dtype)
+                next_sigma = jnp.full((shape[0],), sigmas[i + 1], x.dtype)
+                denoised, aux = denoise(x, sigma)
+                loss = L.min_local_loss(
+                    aux, mask, seg_mask, kernel, self.loss_cfg.min_attn_size
+                )
+                d = SP.to_d(x, sigma, denoised)
+                x = x + append_dims(next_sigma - sigma, x.ndim) * d
+            return jnp.sum(loss)
+
+        def step(carry, key):
+            best_randn, best_loss = carry
+            randn = jax.random.normal(key, shape)
+            s = score(randn)
+            better = s < best_loss
+            best_randn = jnp.where(better, randn, best_randn)
+            best_loss = jnp.where(better, s, best_loss)
+            return (best_randn, best_loss), None
+
+        keys = jax.random.split(rng, noise_iters)
+        init = (jnp.zeros(shape), jnp.asarray(jnp.inf))
+        (best, _), _ = jax.lax.scan(step, init, keys)
+        return best
+
+    def _aae_update(
+        self, params, c, batch, x, sigma, alpha, iter_enabled, thres, max_iter=20
+    ):
+        """Attend-and-excite (sampling.py:233-252): gradient-descend x on the
+        min-local loss through the raw (unguided) network."""
+        network = self.network(params, capture_attn=True)
+        kernel = jnp.asarray(self.loss_cfg.kernel)
+        mask, seg_mask = batch["mask"], batch["seg_mask"]
+
+        sigma_q = self.denoiser.quantize_sigma(sigma)
+        sigma_b = append_dims(sigma_q, x.ndim)
+        _, _, c_in, c_noise = self.denoiser.scale(sigma_b)
+        c_noise = self.denoiser.quantize_c_noise(c_noise.reshape(sigma.shape))
+
+        def loss_fn(xx):
+            _, aux = network(xx * c_in, c_noise, c)
+            ll = L.min_local_loss(aux, mask, seg_mask, kernel, self.loss_cfg.min_attn_size)
+            return jnp.sum(ll)
+
+        grad_fn = jax.value_and_grad(loss_fn)
+
+        # first mandatory update (the torch loop always runs once)
+        val, g = grad_fn(x)
+        x = x - alpha * g
+
+        def cond_fn(state):
+            xx, val, it = state
+            return jnp.logical_and(
+                iter_enabled, jnp.logical_and(val > thres, it <= max_iter)
+            )
+
+        def body_fn(state):
+            xx, _, it = state
+            val, g = grad_fn(xx)
+            return (xx - alpha * g, val, it + 1)
+
+        x, _, _ = jax.lax.while_loop(cond_fn, body_fn, (x, val, jnp.asarray(1)))
+        return x
+
+    def sample(
+        self,
+        params,
+        batch: Dict[str, Array],
+        rng: jax.Array,
+        num_steps: int = 50,
+        cfg_scale: float = 5.0,
+        noise_iters: int = 10,
+        aae_enabled: bool = False,
+        detailed: bool = False,
+        latent_hw: Optional[Tuple[int, int]] = None,
+        return_latents: bool = False,
+    ):
+        """Full text-inpainting sampling (test.py predict() semantics).
+
+        Returns decoded images in [0, 1] (B, H, W, 3); with detailed=True also
+        the middle-step attention maps.
+        """
+        b = batch["image"].shape[0] if "image" in batch else batch["masked"].shape[0]
+        if latent_hw is None:
+            h, w = batch["masked"].shape[1:3]
+            latent_hw = (h // self.latent_factor, w // self.latent_factor)
+        shape = (b, latent_hw[0], latent_hw[1], 4)
+
+        rng_cond, rng_noise = jax.random.split(rng)
+        c, uc = self.conditionings(params, batch, rng=rng_cond)
+
+        x0 = self.get_init_noise(
+            params, c, uc, batch, rng_noise, shape, cfg_scale, noise_iters
+        )
+        sigmas = jnp.asarray(self.discretization(num_steps, do_append_zero=True))
+        x = SP.init_latent(x0, sigmas)
+
+        if not (aae_enabled or detailed):
+            denoise = self.make_denoise_fn(params, c, uc, cfg_scale)
+            z = SP.sample_euler_edm(denoise, x, sigmas)
+            aux_out = {}
+        else:
+            z, aux_out = self._sample_guided(
+                params, c, uc, batch, x, sigmas, cfg_scale, aae_enabled, detailed
+            )
+
+        if return_latents:
+            return z, aux_out
+        img = self.decode_first_stage(params, z)
+        return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0), aux_out
+
+    def _sample_guided(
+        self, params, c, uc, batch, x, sigmas, cfg_scale, aae_enabled, detailed
+    ):
+        """Euler loop with AAE latent refinement and/or middle-step attention
+        map capture (sampling.py:355-420)."""
+        num_sigmas = sigmas.shape[0]
+        bsz = x.shape[0]
+        denoise = self.make_denoise_fn(params, c, uc, cfg_scale, capture_attn=True)
+
+        scales = np.linspace(1.0, 0.0, num_sigmas)
+        alphas = 20.0 * np.sqrt(scales)[:-1]
+        iter_lst = set(np.linspace(5, 25, 6, dtype=np.int32).tolist())
+        thres_lst = np.linspace(-0.5, -0.8, 6)
+        iter_en = np.zeros(num_sigmas - 1, bool)
+        thres = np.zeros(num_sigmas - 1, np.float32)
+        for pos, i in enumerate(sorted(iter_lst)):
+            if i < num_sigmas - 1:
+                iter_en[i] = True
+                thres[i] = thres_lst[pos]
+        mid = (num_sigmas - 1) // 2
+
+        # template for the captured middle-step maps
+        map_shapes = self._attn_map_shapes(bsz, x.shape[1] * x.shape[2], c)
+
+        def step(carry, xs):
+            x, saved = carry
+            i, alpha, ien, th = xs
+            sigma = jnp.full((bsz,), sigmas[i], x.dtype)
+            next_sigma = jnp.full((bsz,), sigmas[i + 1], x.dtype)
+            if aae_enabled:
+                x = self._aae_update(params, c, batch, x, sigma, alpha, ien, th)
+            denoised, aux = denoise(x, sigma)
+            if detailed:
+                is_mid = i == mid
+                saved = {
+                    k: jnp.where(is_mid, aux[k].astype(jnp.float32), saved[k])
+                    for k in saved
+                }
+            d = SP.to_d(x, sigma, denoised)
+            x = x + append_dims(next_sigma - sigma, x.ndim) * d
+            return (x, saved), None
+
+        saved0 = {k: jnp.zeros(s, jnp.float32) for k, s in map_shapes.items()} if detailed else {}
+        xs = (
+            jnp.arange(num_sigmas - 1),
+            jnp.asarray(alphas, jnp.float32),
+            jnp.asarray(iter_en),
+            jnp.asarray(thres, jnp.float32),
+        )
+        (x, saved), _ = jax.lax.scan(step, (x, saved0), xs)
+        return x, saved
+
+    def _attn_map_shapes(self, b: int, n_latent: int, cond) -> Dict[str, Tuple[int, ...]]:
+        """Static shapes of the t_attn maps the UNet emits (for scan carries)."""
+        plan = self.unet.plan
+        l = cond["t_crossattn"].shape[1]
+        shapes = {}
+
+        # derive sizes by replaying the plan's downsampling structure
+        size = int(np.sqrt(n_latent))
+        ds_sizes = {}
+        cur = size
+        ds = 1
+        ds_sizes[ds] = cur
+        for _ in range(len(self.unet.channel_mult) - 1):
+            ds *= 2
+            cur //= 2
+            ds_sizes[ds] = cur
+
+        for i, block in enumerate(plan.input_blocks):
+            for j, spec in enumerate(block):
+                if spec.kind == "attn":
+                    s = ds_sizes[spec.ds]
+                    shapes[f"input_blocks.{i}.{j}.t_attn"] = (b, spec.heads, s * s, l)
+        for j, spec in enumerate(plan.middle_block):
+            if spec.kind == "attn":
+                s = ds_sizes[spec.ds]
+                shapes[f"middle_block.{j}.t_attn"] = (b, spec.heads, s * s, l)
+        for i, block in enumerate(plan.output_blocks):
+            for j, spec in enumerate(block):
+                if spec.kind == "attn":
+                    s = ds_sizes[spec.ds]
+                    shapes[f"output_blocks.{i}.{j}.t_attn"] = (b, spec.heads, s * s, l)
+        return shapes

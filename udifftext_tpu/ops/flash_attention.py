@@ -25,7 +25,12 @@ Array = jax.Array
 _NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, precision):
     q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
     n_k = k_ref.shape[1]
     bq, d = q.shape
@@ -43,6 +48,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
             k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=precision,
         )  # (bq, bk)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -53,13 +59,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
             v,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=precision,
         )
         m = m_new
 
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention(
     q: Array,
     k: Array,
@@ -68,7 +75,24 @@ def flash_attention(
     block_q: int = 256,
     block_k: int = 512,
 ) -> Array:
-    """q (B, Nq, H, D), k/v (B, Nk, H, D) → (B, Nq, H, D)."""
+    """q (B, Nq, H, D), k/v (B, Nk, H, D) → (B, Nq, H, D).
+
+    Differentiable: the backward pass recomputes the softmax row-wise (exact,
+    non-flash — fine at ≤4096 tokens) in XLA; the forward stays the Pallas
+    kernel. A fused Pallas backward is a later optimization.
+    """
+    return _flash_fwd_impl(q, k, v, scale, block_q, block_k)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def _flash_fwd_impl(
+    q: Array,
+    k: Array,
+    v: Array,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 512,
+) -> Array:
     b, nq, h, d = q.shape
     nk = k.shape[1]
     scale = d**-0.5 if scale is None else scale
@@ -82,8 +106,9 @@ def flash_attention(
     vf = v.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
 
     grid = (b * h, nq // block_q)
+    precision = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=block_k),
+        functools.partial(_flash_kernel, scale=scale, block_k=block_k, precision=precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -102,3 +127,31 @@ def flash_attention(
     )(qf, kf, vf)
 
     return out.reshape(b, h, nq, d).transpose(0, 2, 1, 3)
+
+
+def _fa_fwd(q, k, v, scale, block_q, block_k):
+    out = _flash_fwd_impl(q, k, v, scale, block_q, block_k)
+    return out, (q, k, v)
+
+
+def _fa_bwd(scale, block_q, block_k, res, g):
+    q, k, v = res
+    d = q.shape[-1]
+    s = d**-0.5 if scale is None else scale
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf) * s
+    p = jax.nn.softmax(logits, axis=-1)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gf)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", gf, vf)
+    # softmax vjp: dlogits = p * (dp - sum_k(p * dp))
+    dsum = jnp.sum(p * dp, axis=-1, keepdims=True)
+    dlogits = p * (dp - dsum)
+    dq = jnp.einsum("bhqk,bkhd->bqhd", dlogits, kf) * s
+    dk = jnp.einsum("bhqk,bqhd->bkhd", dlogits, qf) * s
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_attention.defvjp(_fa_fwd, _fa_bwd)

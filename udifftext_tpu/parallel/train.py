@@ -1,0 +1,164 @@
+"""Training system: masked optimizer, grad accumulation, data-parallel step.
+
+Parity with the reference training semantics:
+  - **Selective trainability** (sgm/models/diffusion.py:202-218): only UNet
+    params whose path contains one of `opt_keys` (t_attn, t_norm) receive
+    updates; everything else (VAE, LabelEncoder, rest of the UNet) is frozen.
+    In JAX this is `optax.masked` — the DDP `find_unused_parameters` crutch
+    is unnecessary.
+  - AdamW + per-epoch ×0.95 LambdaLR (diffusion.py:219-221).
+  - Grad accumulation ×4 (configs/train.yaml:21) as a `lax.scan` over
+    microbatches inside one jitted step.
+  - Data parallelism: batch sharded over the mesh `data` axis, params
+    replicated; XLA emits the gradient all-reduce (replaces Lightning DDP).
+  - EMA shadow params (sgm/modules/ema.py) as a pytree lerp.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def trainable_mask(params, opt_keys: Tuple[str, ...], trainable_top=("unet",)):
+    """Pytree of bools: True where the param path contains an opt_key and the
+    top-level collection is trainable (reference trains only the UNet)."""
+
+    def mask_leaf(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if keys and keys[0] not in trainable_top:
+            return False
+        return any(any(k in str(seg) for seg in keys) for k in opt_keys)
+
+    return jax.tree_util.tree_map_with_path(mask_leaf, params)
+
+
+def epoch_decay_schedule(base_lr: float, steps_per_epoch: int, decay: float = 0.95):
+    """lr(step) = base_lr * decay^epoch (diffusion.py:220)."""
+
+    def schedule(step):
+        epoch = step // max(steps_per_epoch, 1)
+        return base_lr * jnp.power(decay, epoch)
+
+    return schedule
+
+
+def make_optimizer(
+    params,
+    base_lr: float = 5e-5,
+    opt_keys: Tuple[str, ...] = ("t_attn", "t_norm"),
+    steps_per_epoch: int = 1000,
+    weight_decay: float = 0.01,
+    b1: float = 0.9,
+    b2: float = 0.999,
+) -> optax.GradientTransformation:
+    mask = trainable_mask(params, opt_keys)
+    labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
+    opt = optax.adamw(
+        learning_rate=epoch_decay_schedule(base_lr, steps_per_epoch),
+        b1=b1, b2=b2, weight_decay=weight_decay,
+    )
+    # multi_transform + set_to_zero hard-freezes non-opt_key params
+    # (optax.masked alone would pass raw gradients through for them)
+    return optax.multi_transform({"train": opt, "freeze": optax.set_to_zero()}, labels)
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    ema_params: Optional[Any] = None
+
+    @classmethod
+    def create(cls, params, optimizer, use_ema: bool = False):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=optimizer.init(params),
+            ema_params=jax.tree.map(lambda x: x, params) if use_ema else None,
+        )
+
+
+def ema_update(ema_params, params, step, decay: float = 0.9999):
+    """LitEma warmup decay: min(decay, (1+n)/(10+n)) (sgm/modules/ema.py)."""
+    d = jnp.minimum(decay, (1.0 + step) / (10.0 + step))
+    return jax.tree.map(lambda e, p: e * d + p * (1.0 - d), ema_params, params)
+
+
+def make_train_step(
+    loss_fn: Callable[[Any, Dict[str, Any], jax.Array], Tuple[jax.Array, Dict]],
+    optimizer: optax.GradientTransformation,
+    accum_steps: int = 1,
+    use_ema: bool = False,
+    ema_decay: float = 0.9999,
+    donate: bool = True,
+    mesh: Optional[Mesh] = None,
+):
+    """Build the jitted train step.
+
+    The batch's leading dim must be (accum_steps * per_step_batch); grads are
+    averaged over microbatches via lax.scan before one optimizer update —
+    matching accumulate_grad_batches semantics.
+    """
+
+    grad_fn = jax.value_and_grad(
+        lambda p, b, r: loss_fn(p, b, r), has_aux=True
+    )
+
+    def step_fn(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
+        if accum_steps == 1:
+            (loss, aux), grads = grad_fn(state.params, batch, rng)
+        else:
+            micro = jax.tree.map(
+                lambda x: x.reshape(accum_steps, x.shape[0] // accum_steps, *x.shape[1:]),
+                batch,
+            )
+            rngs = jax.random.split(rng, accum_steps)
+
+            def accum(carry, xs):
+                g_sum, loss_sum = carry
+                mb, r = xs
+                (l, _), g = grad_fn(state.params, mb, r)
+                return (
+                    jax.tree.map(jnp.add, g_sum, g),
+                    loss_sum + l,
+                ), None
+
+            zero_g = jax.tree.map(jnp.zeros_like, state.params)
+            (g_sum, loss_sum), _ = jax.lax.scan(accum, (zero_g, 0.0), (micro, rngs))
+            grads = jax.tree.map(lambda g: g / accum_steps, g_sum)
+            loss = loss_sum / accum_steps
+            aux = {}
+
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = (
+            ema_update(state.ema_params, new_params, state.step, ema_decay)
+            if use_ema and state.ema_params is not None
+            else state.ema_params
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            ema_params=new_ema,
+        )
+        return new_state, loss, aux
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, batch_sh, repl),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
