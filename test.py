@@ -1,0 +1,130 @@
+"""Batch evaluation: generate inpainted scene text on a val split, score OCR
+sequence accuracy with frozen PARSeq, optionally FID/LPIPS.
+
+Parity: /root/reference/test.py:19-138 — same flow (init-noise search,
+50-step Euler-EDM with CFG, bbox-cropped OCR check, real/fake/grid dumps).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from os.path import join as ospj
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from metrics import calc_fid, calc_lpips
+from udifftext_tpu.config import load_config
+from udifftext_tpu.data import get_dataloader
+from udifftext_tpu.loading import init_engine_params  # noqa: F401 (config surface)
+from udifftext_tpu.models.parseq import PARSeq
+from udifftext_tpu.ocr import ParseqPredictor
+from udifftext_tpu.utils.ckpt_torch import load_torch_state_dict, convert_parseq
+from util import init_model, init_sampling, numpy_batch_to_device, prepare_batch
+
+
+def load_predictor(cfgs):
+    pred_cfg = cfgs.get("predictor_config", {}) or {}
+    ckpt = (pred_cfg.get("params", {}) or {}).get("ckpt_path")
+    predictor = ParseqPredictor(model=PARSeq())
+    params = None
+    if ckpt and os.path.exists(str(ckpt)):
+        conv = convert_parseq(load_torch_state_dict(str(ckpt)))
+        params = {"params": conv["params"]}
+        print(f"[parseq] loaded {ckpt}")
+    else:
+        print(f"[parseq] checkpoint {ckpt} not found — OCR eval disabled")
+    return predictor, params
+
+
+def predict(cfgs, bundle, params, sampler, batch, rng):
+    """reference test.py:19-40."""
+    batch, _batch_uc = prepare_batch(cfgs, batch)
+    samples = bundle.engine.sample(
+        params,
+        batch,
+        rng,
+        num_steps=sampler.num_steps,
+        cfg_scale=sampler.cfg_scale,
+        noise_iters=int(cfgs.get("noise_iters", 10)),
+        aae_enabled=bool(cfgs.get("aae_enabled", False)),
+        detailed=bool(cfgs.get("detailed", False)),
+    )[0]
+    return np.asarray(samples)
+
+
+def test(bundle, params, sampler, dataloader, cfgs):
+    output_dir = str(cfgs.get("output_dir", "./outputs"))
+    os.makedirs(ospj(output_dir, "real"), exist_ok=True)
+    os.makedirs(ospj(output_dir, "fake"), exist_ok=True)
+    temp_dir = str(cfgs.get("temp_dir", "./temp"))
+    for sub in ("attn_map", "seg_map", "inters"):
+        os.makedirs(ospj(temp_dir, sub), exist_ok=True)
+
+    ocr_enabled = bool(cfgs.get("ocr_enabled", False))
+    predictor = pred_params = None
+    if ocr_enabled:
+        predictor, pred_params = load_predictor(cfgs)
+        ocr_enabled = pred_params is not None
+    correct_num = total_num = 0
+
+    rng = jax.random.PRNGKey(random.randint(0, 2**31 - 1))
+    for idx, batch in enumerate(dataloader):
+        if idx >= int(cfgs.get("max_iter", 100)):
+            break
+        name = batch["name"][0]
+        rng, sub = jax.random.split(rng)
+        results = predict(cfgs, bundle, params, sampler, batch, sub)  # (B,H,W,3) [0,1]
+
+        if ocr_enabled:
+            crops = [
+                results[i, t:b, l:r]
+                for i, (t, b, l, r) in enumerate(np.asarray(batch["r_bbox"]))
+            ]
+            pred_txt = predictor.img2txt_ragged(pred_params, crops)
+            gt_txt = batch["label"]
+            correct = sum(
+                int(p.lower() == g.lower()) for p, g in zip(pred_txt, gt_txt)
+            )
+            color = "\033[1;32m" if correct == len(gt_txt) else "\033[1;31m"
+            print(f"Expected text: {gt_txt}")
+            print(f"{color} OCR Result: {pred_txt} \033[0m")
+            correct_num += correct
+            total_num += len(gt_txt)
+
+        # save real/fake/grid PNGs (reference test.py:93-117)
+        fake = np.concatenate(np.asarray(results) * 255, axis=-2).astype(np.uint8)
+        outputs = []
+        for key in ("image", "masked", "mask"):
+            if key in batch:
+                arr = np.asarray(batch[key], np.float32)
+                if key != "mask":
+                    arr = (arr + 1.0) / 2.0
+                arr = np.concatenate(arr * 255, axis=-2)
+                if key == "mask":
+                    arr = np.tile(arr, (1, 1, 3))
+                outputs.append(arr.astype(np.uint8))
+        outputs.append(fake)
+        Image.fromarray(outputs[0]).save(ospj(output_dir, "real", f"{name}.png"))
+        Image.fromarray(fake).save(ospj(output_dir, "fake", f"{name}.png"))
+        Image.fromarray(np.concatenate(outputs, axis=0)).save(
+            ospj(output_dir, f"{name}.png")
+        )
+
+    if ocr_enabled and total_num:
+        print(f"OCR test completed. Mean accuracy: {correct_num / total_num}")
+    if cfgs.get("quan_test"):
+        calc_fid(ospj(output_dir, "fake"), ospj(output_dir, "real"))
+        calc_lpips(ospj(output_dir, "fake"), ospj(output_dir, "real"))
+
+
+if __name__ == "__main__":
+    cfgs = load_config("./configs/test.yaml")
+    seed = random.randint(0, 2147483647)
+    bundle, params = init_model(cfgs, seed=seed)
+    sampler = init_sampling(cfgs)
+    dataloader = get_dataloader(cfgs, "val")
+    test(bundle, params, sampler, dataloader, cfgs)

@@ -49,6 +49,13 @@ def install_stubs():
         def log(self, *a, **k):
             pass
 
+        def save_hyperparameters(self, *a, **k):
+            self.hparams = types.SimpleNamespace()
+
+        @property
+        def _device(self):
+            return torch.device("cpu")
+
     pl.LightningModule = LightningModule
     pl.seed_everything = lambda *a, **k: None
     pl.Trainer = object
@@ -119,22 +126,40 @@ def install_stubs():
         sys.modules["torchvision.utils"] = tv_utils
         sys.modules["torchvision.transforms"] = tv_transforms
 
-    # --- timm VisionTransformer (subclassed by ViTSTREncoder) ---
+    # --- timm (functional mini-ViT with timm naming; see timm_stub.py) ---
+    sys.path.insert(0, str(Path(__file__).parent))
+    import timm_stub
+
     timm = _mkmod("timm")
     timm_models = _mkmod("timm.models")
     timm_vit = _mkmod("timm.models.vision_transformer")
+    timm_helpers = _mkmod("timm.models.helpers")
+    timm_optim = _mkmod("timm.optim")
 
-    class VisionTransformer(torch.nn.Module):
-        def __init__(self, *a, **k):
-            super().__init__()
-            self.embed_dim = k.get("embed_dim", 768)
-
-    timm_vit.VisionTransformer = VisionTransformer
+    timm_vit.VisionTransformer = timm_stub.VisionTransformer
+    timm_vit.PatchEmbed = timm_stub.PatchEmbed
+    timm_helpers.named_apply = timm_stub.named_apply
+    timm_optim.create_optimizer_v2 = lambda *a, **k: None
     timm_models.vision_transformer = timm_vit
+    timm_models.helpers = timm_helpers
     timm.models = timm_models
+    timm.optim = timm_optim
     sys.modules["timm"] = timm
     sys.modules["timm.models"] = timm_models
     sys.modules["timm.models.vision_transformer"] = timm_vit
+    sys.modules["timm.models.helpers"] = timm_helpers
+    sys.modules["timm.optim"] = timm_optim
+
+    # pytorch_lightning.utilities.types (imported by strhub base/system)
+    pl_utils = _mkmod("pytorch_lightning.utilities")
+    pl_types = _mkmod("pytorch_lightning.utilities.types")
+    pl_types.STEP_OUTPUT = object
+    pl_utils.types = pl_types
+    sys.modules["pytorch_lightning.utilities"] = pl_utils
+    sys.modules["pytorch_lightning.utilities.types"] = pl_types
+
+    if str(REFERENCE / "src" / "parseq") not in sys.path:
+        sys.path.insert(0, str(REFERENCE / "src" / "parseq"))
 
     if str(REFERENCE) not in sys.path:
         sys.path.insert(0, str(REFERENCE))

@@ -342,3 +342,137 @@ def convert_label_encoder(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
             continue
         unknown.append(key)
     return {"params": out, "unknown": unknown}
+
+
+# ---------------------------------------------------------------------------
+# ViT (timm naming) / PARSeq / ViTSTR
+# ---------------------------------------------------------------------------
+
+
+def convert_vit(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    """timm VisionTransformer state dict → models/vit.py ViTEncoder params."""
+    sd = strip_prefix(sd, prefix) if prefix else dict(sd)
+    out: Dict = {}
+    unknown = []
+    for key, v in sd.items():
+        parts = key.split(".")
+        if key == "pos_embed":
+            _set(out, ("pos_embed",), v)
+        elif key == "cls_token":
+            _set(out, ("cls_token",), v.reshape(1, 1, -1))
+        elif parts[0] == "patch_embed" and parts[1] == "proj":
+            wb = parts[2]
+            _set(out, ("patch_embed", "proj", "kernel" if wb == "weight" else "bias"),
+                 t_conv(v) if wb == "weight" else v)
+        elif parts[0] == "blocks":
+            n, sub, wb = parts[1], ".".join(parts[2:-1]), parts[-1]
+            base = (f"blocks_{n}",)
+            if sub in ("norm1", "norm2"):
+                _set(out, base + (sub, "scale" if wb == "weight" else "bias"), v)
+            elif sub in ("attn.qkv", "attn.proj"):
+                mod = sub.split(".")[1]
+                _set(out, base + ("attn", mod) + _leaf("lin", wb), _val("lin", wb, v))
+            elif sub in ("mlp.fc1", "mlp.fc2"):
+                mod = sub.split(".")[1]
+                _set(out, base + ("mlp", mod) + _leaf("lin", wb), _val("lin", wb, v))
+            else:
+                unknown.append(key)
+        elif parts[0] == "norm":
+            _set(out, ("norm", "scale" if parts[-1] == "weight" else "bias"), v)
+        else:
+            unknown.append(key)
+    return {"params": out, "unknown": unknown}
+
+
+def convert_parseq(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    """PARSeq checkpoint (parseq-bb5792a6.pt) → models/parseq.py params."""
+    sd = strip_prefix(sd, prefix) if prefix else dict(sd)
+    out: Dict = {}
+    unknown = []
+
+    enc = convert_vit(strip_prefix(sd, "encoder."))
+    out["encoder"] = enc["params"]
+    unknown += [f"encoder.{k}" for k in enc["unknown"]]
+
+    for key, v in sd.items():
+        if key.startswith("encoder."):
+            continue
+        parts = key.split(".")
+        if key == "pos_queries":
+            _set(out, ("pos_queries",), v)
+        elif key == "text_embed.embedding.weight":
+            _set(out, ("text_embed", "embedding"), v)
+        elif parts[0] == "head":
+            _set(out, ("head",) + _leaf("lin", parts[-1]), _val("lin", parts[-1], v))
+        elif parts[0] == "decoder" and parts[1] == "norm":
+            _set(out, ("decoder_norm", "scale" if parts[-1] == "weight" else "bias"), v)
+        elif parts[0] == "decoder" and parts[1] == "layers":
+            n = parts[2]
+            sub = ".".join(parts[3:-1])
+            wb = parts[-1]
+            base = (f"decoder_layers_{n}",)
+            if parts[3] in ("self_attn", "cross_attn"):
+                attn = parts[3]
+                if wb in ("in_proj_weight", "in_proj_bias"):
+                    kind = "kernel" if wb.endswith("weight") else "bias"
+                    vv = t_lin(v) if kind == "kernel" else v
+                    _set(out, base + (attn, f"in_proj_{kind}"), vv)
+                elif sub.endswith("out_proj"):
+                    _set(out, base + (attn, "out_proj") + _leaf("lin", wb), _val("lin", wb, v))
+                else:
+                    unknown.append(key)
+            elif sub in ("linear1", "linear2"):
+                _set(out, base + (sub,) + _leaf("lin", wb), _val("lin", wb, v))
+            elif sub in ("norm1", "norm2", "norm_q", "norm_c"):
+                _set(out, base + (sub, "scale" if wb == "weight" else "bias"), v)
+            else:
+                unknown.append(key)
+        else:
+            unknown.append(key)
+    return {"params": out, "unknown": unknown}
+
+
+def convert_vitstr(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    """ViTSTR checkpoint → models/vit.py ViTSTREncoder params (features only;
+    the classifier head in the ckpt is dropped, matching the reference which
+    replaces it and only consumes features — encoders/modules.py:1030-1066)."""
+    sd = strip_prefix(sd, prefix) if prefix else dict(sd)
+    core = {k: v for k, v in sd.items() if not k.startswith(("head", "dist_token", "pre_logits"))}
+    conv = convert_vit(core)
+    return {"params": {"vit": conv["params"]}, "unknown": conv["unknown"]}
+
+
+# ---------------------------------------------------------------------------
+# Merging converted weights into initialized param trees (strict=False load)
+# ---------------------------------------------------------------------------
+
+
+def merge_params(init_params: Dict, loaded: Dict, path: str = ""):
+    """Deep-merge `loaded` into a copy of `init_params`, keeping init values
+    for missing leaves (the reference's strict=False bootstrap semantics,
+    diffusion.py:87-105). Returns (merged, missing, unexpected, mismatched).
+    """
+    missing, unexpected, mismatched = [], [], []
+
+    def rec(init_node, loaded_node, p):
+        if not isinstance(init_node, dict):
+            if loaded_node is None:
+                missing.append(p)
+                return init_node
+            if tuple(getattr(loaded_node, "shape", ())) != tuple(init_node.shape):
+                mismatched.append(
+                    f"{p}: ckpt{tuple(loaded_node.shape)} vs init{tuple(init_node.shape)}"
+                )
+                return init_node
+            return np.asarray(loaded_node).astype(np.asarray(init_node).dtype)
+        out = {}
+        loaded_node = loaded_node if isinstance(loaded_node, dict) else {}
+        for k, v in init_node.items():
+            out[k] = rec(v, loaded_node.get(k), f"{p}/{k}" if p else k)
+        for k in loaded_node:
+            if k not in init_node:
+                unexpected.append(f"{p}/{k}" if p else k)
+        return out
+
+    merged = rec(init_params, loaded, path)
+    return merged, missing, unexpected, mismatched
