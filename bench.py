@@ -27,7 +27,19 @@ def _zeros_params(module, *example_inputs):
     return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 
-def build(batch_size: int):
+def cast_params_bf16(params):
+    """Pre-cast weights to bf16 once (instead of per-step fp32→bf16 casts of
+    the full 3.5GB parameter set inside the sampling scan). Norm params keep
+    fp32 via the modules' fp32 norm paths."""
+    import jax.numpy as jnp
+
+    def cast(x):
+        return x.astype(jnp.bfloat16) if x.dtype == jnp.float32 and x.ndim >= 1 else x
+
+    return jax.tree.map(cast, params)
+
+
+def build(batch_size: int, bf16_params: bool = True):
     from udifftext_tpu.diffusion import sampling as SP
     from udifftext_tpu.diffusion.denoiser import DiscreteDenoiser
     from udifftext_tpu.diffusion.guiders import VanillaCFG
@@ -42,6 +54,8 @@ def build(batch_size: int):
         unet, jnp.zeros((1, 64, 64, 9)), jnp.zeros((1,)), jnp.zeros((1, 12, 2048))
     )
     vae_params = _zeros_params(vae, jnp.zeros((1, 512, 512, 3)))
+    if bf16_params:
+        unet_params = cast_params_bf16(unet_params)
 
     denoiser = DiscreteDenoiser()
     guider = VanillaCFG(5.0)
@@ -74,7 +88,8 @@ def build(batch_size: int):
 
 def main():
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    sample = build(batch_size)
+    bf16_params = not (len(sys.argv) > 2 and sys.argv[2] == "fp32")
+    sample = build(batch_size, bf16_params)
 
     rng = jax.random.PRNGKey(0)
     # warmup / compile
