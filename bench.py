@@ -87,7 +87,7 @@ def build(batch_size: int, bf16_params: bool = True):
 
 
 def main():
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     bf16_params = not (len(sys.argv) > 2 and sys.argv[2] == "fp32")
     sample = build(batch_size, bf16_params)
 

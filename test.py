@@ -43,7 +43,7 @@ def load_predictor(cfgs):
 def predict(cfgs, bundle, params, sampler, batch, rng):
     """reference test.py:19-40."""
     batch, _batch_uc = prepare_batch(cfgs, batch)
-    samples = bundle.engine.sample(
+    samples, aux = bundle.engine.sample(
         params,
         batch,
         rng,
@@ -52,8 +52,8 @@ def predict(cfgs, bundle, params, sampler, batch, rng):
         noise_iters=int(cfgs.get("noise_iters", 10)),
         aae_enabled=bool(cfgs.get("aae_enabled", False)),
         detailed=bool(cfgs.get("detailed", False)),
-    )[0]
-    return np.asarray(samples)
+    )
+    return np.asarray(samples), aux
 
 
 def test(bundle, params, sampler, dataloader, cfgs):
@@ -77,7 +77,19 @@ def test(bundle, params, sampler, dataloader, cfgs):
             break
         name = batch["name"][0]
         rng, sub = jax.random.split(rng)
-        results = predict(cfgs, bundle, params, sampler, batch, sub)  # (B,H,W,3) [0,1]
+        results, aux = predict(cfgs, bundle, params, sampler, batch, sub)  # (B,H,W,3) [0,1]
+
+        if cfgs.get("detailed") and aux:
+            # middle-step attention heatmaps + seg maps (reference
+            # openaimodel.py:559-591, sampling.py:254-262)
+            from udifftext_tpu.utils.viz import (
+                average_attn_maps, save_attn_map_grid, save_segment_map,
+            )
+
+            maps = average_attn_maps({k: np.asarray(v) for k, v in aux.items()})
+            tokens = batch["label"][0]
+            save_attn_map_grid(maps, tokens, ospj(temp_dir, "attn_map", f"attn_map_{name}.png"))
+            save_segment_map(maps, tokens, ospj(temp_dir, "seg_map", f"seg_{name}.npy"))
 
         if ocr_enabled:
             crops = [

@@ -24,7 +24,10 @@ from udifftext_tpu.parallel.train import TrainState, make_optimizer, make_train_
 from udifftext_tpu.utils.ckpt_orbax import latest_checkpoint, restore_checkpoint, save_checkpoint
 from util import init_model, numpy_batch_to_device
 
-BATCH_KEYS = ("image", "masked", "mask", "seg", "seg_mask", "label_ids")
+BATCH_KEYS = (
+    "image", "masked", "mask", "seg", "seg_mask", "label_ids",
+    "r_bbox", "parseq_label_ids",  # consumed when ocr_enabled
+)
 
 
 def train(cfgs):
@@ -46,8 +49,11 @@ def train(cfgs):
         opt_keys=bundle.opt_keys,
         steps_per_epoch=steps_per_epoch,
     )
-    step_fn = make_train_step(engine.loss, optimizer, accum_steps=accum, mesh=mesh)
-    state = TrainState.create(params, optimizer)
+    use_ema = bool(cfgs.get("use_ema", False))
+    step_fn = make_train_step(
+        engine.loss, optimizer, accum_steps=accum, mesh=mesh, use_ema=use_ema
+    )
+    state = TrainState.create(params, optimizer, use_ema=use_ema)
 
     ckpt_dir = os.path.join(str(cfgs.get("save_ckpt_dir", "./checkpoints")), "udifftext_tpu")
     resume = latest_checkpoint(ckpt_dir)

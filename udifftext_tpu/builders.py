@@ -169,6 +169,14 @@ def build_diffusion_engine(model_cfg: Dict[str, Any], unet_dtype=jnp.bfloat16) -
         **(_get(loss_p.get("sigma_sampler_config"), "params", {}) or {})
     )
 
+    ocr_predictor = None
+    parseq_ckpt = None
+    if loss_cfg.ocr_enabled:
+        from .ocr import ParseqPredictor
+
+        ocr_predictor = ParseqPredictor()
+        parseq_ckpt = _get(loss_p.get("predictor_config"), "params", {}).get("ckpt_path")
+
     samp_p = _get(p.get("sampler_config"), "params", {}) or {}
     guider_p = _get(samp_p.get("guider_config"), "params", {}) or {}
     sampler = SamplerSettings(
@@ -186,10 +194,16 @@ def build_diffusion_engine(model_cfg: Dict[str, Any], unet_dtype=jnp.bfloat16) -
         loss_cfg=loss_cfg,
         scale_factor=p.get("scale_factor", 0.18215),
         ucg_rate_label=ucg_rate,
+        ocr_predictor=ocr_predictor,
     )
     return EngineBundle(
         engine=engine,
         sampler=sampler,
         opt_keys=tuple(p.get("opt_keys", ("t_attn", "t_norm"))),
-        ckpt_paths={"model": None, "vae": vae_ckpt, "label_encoder": label_ckpt},
+        ckpt_paths={
+            "model": None,
+            "vae": vae_ckpt,
+            "label_encoder": label_ckpt,
+            "parseq": parseq_ckpt,
+        },
     )

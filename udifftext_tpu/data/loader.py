@@ -17,7 +17,10 @@ import numpy as np
 
 from ..charset import encode_labels
 from ..config import load_config
+from ..models.parseq import ParseqTokenizer
 from . import datasets as D
+
+_PARSEQ_TOKENIZER = ParseqTokenizer()
 
 DATASETS = {
     "LAIONOCRDataset": D.LAIONOCRDataset,
@@ -42,6 +45,7 @@ def collate(samples: List[Dict[str, Any]], max_len: int = 12) -> Dict[str, Any]:
             batch[k] = vals
     if "label" in batch:
         batch["label_ids"] = encode_labels(batch["label"], max_len)
+        batch["parseq_label_ids"] = _PARSEQ_TOKENIZER.encode(batch["label"])
     if "text" in batch:
         batch["label_ids"] = encode_labels(batch["text"], max_len)
     return batch

@@ -46,6 +46,7 @@ class DiffusionEngine:
     ucg_rate_label: float = 0.1
     mask_multiplier: float = 0.125
     latent_factor: int = 8
+    ocr_predictor: Optional[Any] = None  # ParseqPredictor when ocr_enabled
 
     @property
     def conditioner(self) -> Conditioner:
@@ -92,9 +93,20 @@ class DiffusionEngine:
             params["label_encoder"], params["vae"], batch, rng=rng_cond, train=True
         )
         network = self.network(params, capture_attn=True)
+
+        ocr_loss_fn = None
+        if self.loss_cfg.ocr_enabled and self.ocr_predictor is not None and "parseq" in params:
+            def ocr_loss_fn(model_output, b):
+                # decode the denoised latent and score the bbox crop with the
+                # frozen recognizer (reference loss.py:178-190)
+                decoded = self.decode_first_stage(params, model_output)
+                return self.ocr_predictor.calc_loss(
+                    params["parseq"], decoded, b["r_bbox"], b["parseq_label_ids"]
+                )
+
         return L.full_loss(
             self.loss_cfg, self.denoiser, network, self.sigma_sampler,
-            cond, x, batch, rng_loss,
+            cond, x, batch, rng_loss, ocr_loss_fn=ocr_loss_fn,
         )
 
     # -- sampling -------------------------------------------------------------

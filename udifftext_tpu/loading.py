@@ -98,6 +98,12 @@ def load_component_ckpts(
         out["vae"] = {"params": jax.tree.map(jnp.asarray, merged)}
         if verbose:
             print(f"[vae] loaded {vae_path}")
+    pq_path = bundle.ckpt_paths.get("parseq")
+    if pq_path and os.path.exists(pq_path) and bundle.engine.ocr_predictor is not None:
+        sd = CT.load_torch_state_dict(pq_path)
+        out["parseq"] = {"params": jax.tree.map(jnp.asarray, CT.convert_parseq(sd)["params"])}
+        if verbose:
+            print(f"[parseq] loaded {pq_path}")
     le_path = bundle.ckpt_paths.get("label_encoder")
     if le_path and os.path.exists(le_path):
         sd = CT.load_torch_state_dict(le_path)

@@ -45,12 +45,30 @@ def timestep_embedding(timesteps: Array, dim: int, max_period: int = 10000) -> A
     return emb
 
 
-class GroupNorm32(nn.Module):
-    """GroupNorm evaluated in fp32, output cast to compute dtype.
+class _GNParams(nn.Module):
+    """Scale/bias holder named to keep the flax param path identical to the
+    previous nn.GroupNorm nesting (GroupNorm_0/{scale,bias})."""
 
-    Mirrors GroupNorm32 (util.py:273-275). ``eps`` is 1e-5 for UNet blocks
-    (torch default) and 1e-6 for SpatialTransformer/VAE ``Normalize``
-    (attention.py:79-83, model.py:49-52).
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return scale, bias
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm with fp32 statistics, output in the input dtype.
+
+    Mirrors GroupNorm32 (util.py:273-275) numerically, but written in the
+    fusion-friendly two-pass form: one fp32 reduction pass over the (bf16)
+    input for mean/E[x²], then a single normalize+affine pass that reads the
+    input once and writes the output once — instead of materializing fp32
+    copies around ``nn.GroupNorm`` (≈3× the HBM traffic at UNet sizes).
+
+    ``eps`` is 1e-5 for UNet blocks (torch default) and 1e-6 for
+    SpatialTransformer/VAE ``Normalize`` (attention.py:79-83, model.py:49-52).
     """
 
     num_groups: int = 32
@@ -59,15 +77,21 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        orig_dtype = x.dtype
-        x = x.astype(jnp.float32)
-        out = nn.GroupNorm(
-            num_groups=self.num_groups,
-            epsilon=self.eps,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x)
-        return out.astype(orig_dtype)
+        c = x.shape[-1]
+        g = self.num_groups
+        scale, bias = _GNParams(c, name="GroupNorm_0")()
+
+        orig_shape = x.shape
+        xg = x.reshape(*x.shape[:1], -1, g, c // g)  # (B, N, G, C/G)
+        xf = xg.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+        var = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True) - jnp.square(mean)
+        inv = jax.lax.rsqrt(var + self.eps)
+
+        y = (xf - mean) * inv
+        y = y.reshape(orig_shape)
+        y = y * scale + bias
+        return y.astype(x.dtype)
 
 
 def silu(x: Array) -> Array:

@@ -91,11 +91,12 @@ class ParseqPredictor:
     ) -> Array:
         """Per-sample clamped CE (reference calc_loss :40-57), jit-friendly.
 
-        images (B, H, W, 3) in [0, 1]; r_bbox (B, 4); label_ids (B, L) from
+        images (B, H, W, 3); r_bbox (B, 4); label_ids (B, L) from
         `tokenizer.encode` ([BOS, chars, EOS, PAD...]).
         """
+        # parity: the reference feeds the raw decoded output (no clamp) to the
+        # predictor transform during training (loss.py:178-190)
         crops = jax.vmap(lambda im, bb: crop_resize_bbox(im, bb))(images, r_bbox)
-        crops = jnp.clip(crops, 0.0, 1.0)
         x = self.preprocess(crops)
 
         tgt_in = label_ids[:, :-1]

@@ -162,3 +162,50 @@ def make_train_step(
         out_shardings=(repl, repl, repl),
         donate_argnums=(0,) if donate else (),
     )
+
+
+# ---------------------------------------------------------------------------
+# LR schedulers (sgm/lr_scheduler.py capability surface — warmup-cosine and
+# linear variants; the engine default remains the 0.95^epoch decay)
+# ---------------------------------------------------------------------------
+
+
+def warmup_cosine_schedule(
+    base_lr: float,
+    warmup_steps: int,
+    total_steps: int,
+    lr_min: float = 0.0,
+    lr_start: float = 0.0,
+):
+    """LambdaWarmUpCosineScheduler semantics: linear warmup from lr_start to
+    base_lr, then cosine decay to lr_min."""
+    import jax.numpy as jnp
+
+    def schedule(step):
+        warm = lr_start + (base_lr - lr_start) * step / jnp.maximum(warmup_steps, 1)
+        t = (step - warmup_steps) / jnp.maximum(total_steps - warmup_steps, 1)
+        t = jnp.clip(t, 0.0, 1.0)
+        cos = lr_min + 0.5 * (base_lr - lr_min) * (1 + jnp.cos(jnp.pi * t))
+        return jnp.where(step < warmup_steps, warm, cos)
+
+    return schedule
+
+
+def warmup_linear_schedule(
+    base_lr: float,
+    warmup_steps: int,
+    total_steps: int,
+    lr_min: float = 0.0,
+    lr_start: float = 0.0,
+):
+    """LambdaLinearScheduler semantics: linear warmup then linear decay."""
+    import jax.numpy as jnp
+
+    def schedule(step):
+        warm = lr_start + (base_lr - lr_start) * step / jnp.maximum(warmup_steps, 1)
+        t = (step - warmup_steps) / jnp.maximum(total_steps - warmup_steps, 1)
+        t = jnp.clip(t, 0.0, 1.0)
+        lin = base_lr + (lr_min - base_lr) * t
+        return jnp.where(step < warmup_steps, warm, lin)
+
+    return schedule
