@@ -1,0 +1,82 @@
+"""STR extras: ViTSTR system, CRNN, PARSeq permutation training, eval metrics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_vitstr_system_shapes():
+    from udifftext_tpu.models.str_models import ViTSTRSystem
+
+    m = ViTSTRSystem(max_label_length=7, img_size=(16, 32), patch_size=(4, 8),
+                     embed_dim=32, depth=1, num_heads=4, num_classes=95)
+    x = jnp.zeros((2, 16, 32, 3))
+    p = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(p, x)
+    assert out.shape == (2, 8, 95)  # max_len + 2 tokens, class token dropped
+
+
+def test_crnn_shapes_and_ctc():
+    from udifftext_tpu.models.str_models import CRNN, ctc_collapse, ctc_greedy_decode
+
+    m = CRNN(num_classes=37, hidden=32)
+    x = jnp.zeros((2, 32, 64, 3))
+    p = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(p, x)
+    assert out.ndim == 3 and out.shape[0] == 2 and out.shape[2] == 37
+    ids = ctc_greedy_decode(out)
+    seqs = ctc_collapse(np.asarray(ids))
+    assert len(seqs) == 2
+
+    # collapse semantics
+    assert ctc_collapse(np.array([[0, 1, 1, 0, 2, 2, 2, 3]])) == [[1, 2, 3]]
+
+
+def test_parseq_perm_generation():
+    from udifftext_tpu.models.parseq import attn_masks_from_perm, gen_tgt_perms
+
+    rng = np.random.default_rng(0)
+    perms = gen_tgt_perms(rng, 6, perm_num=6)
+    assert perms.shape[1] == 8  # + BOS/EOS positions
+    assert (perms[0] == np.arange(8)).all()  # forward perm first
+    # mirrored pairs adjacent: perm 2k+1 is reverse-ish of 2k for chars
+    content_mask, query_mask = attn_masks_from_perm(perms[0])
+    assert content_mask.shape == (7, 7)
+    assert query_mask.shape == (7, 7)
+    # forward perm → causal: query i must not see keys > i
+    for i in range(7):
+        assert (query_mask[i, i + 1 :] < -1e8).all()
+
+    # single char special case
+    p1 = gen_tgt_perms(rng, 1)
+    assert (p1 == np.arange(3)).all()
+
+
+def test_parseq_training_loss_runs():
+    from udifftext_tpu.models.parseq import (
+        PARSeq, ParseqTokenizer, gen_tgt_perms, parseq_training_loss,
+    )
+
+    m = PARSeq(max_label_length=7, img_size=(16, 32), patch_size=(4, 8),
+               embed_dim=32, enc_depth=1, enc_num_heads=4, dec_num_heads=4)
+    tok = ParseqTokenizer()
+    x = jnp.zeros((2, 16, 32, 3))
+    params = m.init(jax.random.PRNGKey(0), x, 1)
+    ids = jnp.asarray(tok.encode(["abc", "de"], max_length=7))
+    perms = gen_tgt_perms(np.random.default_rng(1), 7, perm_num=2)
+    loss = parseq_training_loss(m, params, x, ids, perms)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_str_eval_metrics():
+    from udifftext_tpu.str_eval import evaluate_predictions, edit_distance
+
+    assert edit_distance("kitten", "sitting") == 3
+    res = evaluate_predictions(
+        ["hello", "worl"], ["Hello", "world"], [0.9, 0.8],
+        charset_test="0123456789abcdefghijklmnopqrstuvwxyz",
+    )
+    # charset adapter lowercases both → first exact, second 1 edit off
+    assert res.correct == 1
+    assert res.num_samples == 2
+    assert 0 < res.mean_1_minus_ned < 100

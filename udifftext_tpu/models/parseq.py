@@ -328,3 +328,117 @@ class PARSeq(nn.Module):
         causal = jnp.triu(jnp.full((num, num), NEG_INF, jnp.float32), 1)
         out = self.decode(tgt_in, memory, tgt_mask=causal, tgt_query_mask=causal)
         return self.head(out).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Permutation-language-modeling training (system.py:154-259)
+# ---------------------------------------------------------------------------
+
+
+def gen_tgt_perms(
+    rng: np.random.Generator,
+    max_num_chars: int,
+    perm_num: int = 6,
+    perm_forward: bool = True,
+    perm_mirrored: bool = True,
+) -> np.ndarray:
+    """Shared batch permutations incl. BOS/EOS positions (system.py:154-226).
+
+    Host-side (numpy) — permutations are data fed into the jitted loss.
+    Returns (n_perms, max_num_chars + 2) int32.
+    """
+    import itertools
+    import math as _math
+
+    if max_num_chars == 1:
+        return np.arange(3, dtype=np.int32)[None]
+
+    perms = [np.arange(max_num_chars)] if perm_forward else []
+    max_gen_perms = perm_num // 2 if perm_mirrored else perm_num
+    max_perms = _math.factorial(max_num_chars)
+    if perm_mirrored:
+        max_perms //= 2
+    num_gen_perms = min(max_gen_perms, max_perms)
+
+    if max_num_chars < 5:
+        if max_num_chars == 4 and perm_mirrored:
+            selector = [0, 3, 4, 6, 9, 10, 12, 16, 17, 18, 19, 21]
+        else:
+            selector = list(range(max_perms))
+        pool = np.asarray(list(itertools.permutations(range(max_num_chars))))[selector]
+        if perm_forward:
+            pool = pool[1:]
+        perms = np.stack(perms)
+        if len(pool):
+            i = rng.choice(len(pool), size=num_gen_perms - len(perms), replace=False)
+            perms = np.concatenate([perms, pool[i]])
+    else:
+        perms.extend(
+            rng.permutation(max_num_chars) for _ in range(num_gen_perms - len(perms))
+        )
+        perms = np.stack(perms)
+
+    if perm_mirrored:
+        comp = perms[:, ::-1]
+        perms = np.stack([perms, comp], axis=1).reshape(-1, max_num_chars)
+
+    bos_idx = np.zeros((len(perms), 1), perms.dtype)
+    eos_idx = np.full((len(perms), 1), max_num_chars + 1, perms.dtype)
+    perms = np.concatenate([bos_idx, perms + 1, eos_idx], axis=1)
+    if len(perms) > 1:
+        # reverse-direction special handling (system.py:219-221)
+        perms[1, 1:] = max_num_chars + 1 - np.arange(max_num_chars + 1)
+    return perms.astype(np.int32)
+
+
+def attn_masks_from_perm(perm: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(content_mask, query_mask) additive -inf masks (system.py:228-242)."""
+    sz = perm.shape[0]
+    mask = np.zeros((sz, sz), np.float32)
+    for i in range(sz):
+        mask[perm[i], perm[i + 1 :]] = NEG_INF
+    content_mask = mask[:-1, :-1].copy()
+    mask[np.eye(sz, dtype=bool)] = NEG_INF
+    query_mask = mask[1:, :-1]
+    return content_mask, query_mask
+
+
+def parseq_training_loss(
+    model: "PARSeq",
+    params,
+    images: Array,
+    label_ids: Array,
+    perms: np.ndarray,
+) -> Array:
+    """Permuted-AR CE loss (system.py:244-259): average the teacher-forced CE
+    over the sampled permutations; EOS targets only count for the first
+    (forward) and second (reverse) orderings."""
+    tok_pad = model.num_tokens - 1
+    tok_eos = 0
+    tgt_in = label_ids[:, :-1]
+    tgt_out0 = label_ids[:, 1:]
+    tgt_padding_mask = jnp.logical_or(tgt_in == tok_pad, tgt_in == tok_eos)
+    memory = model.apply(params, images, method=PARSeq.encode)
+
+    loss = 0.0
+    loss_numel = 0.0
+    tgt_out = tgt_out0
+    n = jnp.sum(tgt_out != tok_pad)
+    for i, perm in enumerate(perms):
+        content_mask, query_mask = attn_masks_from_perm(np.asarray(perm))
+        out = model.apply(
+            params, tgt_in, memory,
+            jnp.asarray(content_mask), tgt_padding_mask, None, jnp.asarray(query_mask),
+            method=PARSeq.decode,
+        )
+        logits = model.apply(params, out, method=lambda m, o: m.head(o)).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tgt_idx = jnp.clip(tgt_out, 0, logits.shape[-1] - 1)
+        nll = -jnp.take_along_axis(logp, tgt_idx[..., None], -1)[..., 0]
+        valid = tgt_out != tok_pad
+        loss = loss + n * jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+        loss_numel = loss_numel + n
+        if i == 1:
+            tgt_out = jnp.where(tgt_out == tok_eos, tok_pad, tgt_out)
+            n = jnp.sum(tgt_out != tok_pad)
+    return loss / loss_numel
