@@ -1,0 +1,52 @@
+"""TRBA and ABINet shape/sanity tests (tiny configs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_tps_constants_shapes():
+    from udifftext_tpu.models.trba import build_tps_constants
+
+    inv_delta_C, P_hat = build_tps_constants(20, 16, 48)
+    assert inv_delta_C.shape == (23, 23)
+    assert P_hat.shape == (16 * 48, 23)
+    assert np.isfinite(inv_delta_C).all() and np.isfinite(P_hat).all()
+
+
+def test_grid_sample_identity():
+    from udifftext_tpu.ops.image import grid_sample_bilinear
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(1, 8, 10, 3).astype(np.float32))
+    ys, xs = np.meshgrid(np.linspace(-1, 1, 8), np.linspace(-1, 1, 10), indexing="ij")
+    grid = jnp.asarray(np.stack([xs, ys], -1)[None].astype(np.float32))
+    out = grid_sample_bilinear(img, grid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_trba_forward():
+    from udifftext_tpu.models.trba import TRBA
+
+    m = TRBA(num_class=38, max_label_length=5, output_channel=64, hidden=32,
+             img_size=(32, 64))
+    x = jnp.zeros((2, 32, 64, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (2, 6, 38)
+    assert np.isfinite(np.asarray(out)).all()
+    # teacher-forced path
+    text = jnp.zeros((2, 6), jnp.int32)
+    out_tf = m.apply(params, x, text)
+    assert out_tf.shape == (2, 6, 38)
+
+
+def test_abinet_forward():
+    from udifftext_tpu.models.abinet import ABINet
+
+    m = ABINet(max_length=6, num_classes=37, iter_size=2, d_model=64)
+    x = jnp.zeros((2, 32, 64, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (2, 6, 37)
+    assert np.isfinite(np.asarray(out)).all()

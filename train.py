@@ -22,7 +22,17 @@ from udifftext_tpu.data import get_dataloader
 from udifftext_tpu.parallel.mesh import make_mesh
 from udifftext_tpu.parallel.train import TrainState, make_optimizer, make_train_step
 from udifftext_tpu.utils.ckpt_orbax import latest_checkpoint, restore_checkpoint, save_checkpoint
+from udifftext_tpu.utils.profiling import SimpleProfiler
 from util import init_model, numpy_batch_to_device
+
+
+def maybe_init_distributed():
+    """Multi-host init (replaces Lightning DDP process management): activated
+    by the standard JAX cluster env vars when running on a multi-host slice;
+    a no-op on a single host."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        print(f"distributed: process {jax.process_index()}/{jax.process_count()}")
 
 BATCH_KEYS = (
     "image", "masked", "mask", "seg", "seg_mask", "label_ids",
@@ -31,6 +41,8 @@ BATCH_KEYS = (
 
 
 def train(cfgs):
+    maybe_init_distributed()
+    profiler = SimpleProfiler()
     seed = random.randint(0, 2**31 - 1)  # reference uses a random seed (train.py:26-27)
     print(f"seed: {seed}")
 
@@ -77,9 +89,11 @@ def train(cfgs):
                     if k in micro_accum[0]
                 }
                 micro_accum = []
-                dev_batch = numpy_batch_to_device(stacked)
+                with profiler.profile("host_to_device"):
+                    dev_batch = numpy_batch_to_device(stacked)
                 rng, sub = jax.random.split(rng)
-                state, loss, aux = step_fn(state, dev_batch, sub)
+                with profiler.profile("train_step"):
+                    state, loss, aux = step_fn(state, dev_batch, sub)
                 global_step += 1
                 if global_step % 10 == 0:
                     dt = time.time() - t0
@@ -89,8 +103,10 @@ def train(cfgs):
                     )
                     t0 = time.time()
             if (epoch + 1) % int(cfgs.get("save_ckpt_freq", 1)) == 0:
-                path = save_checkpoint(ckpt_dir, state, global_step)
+                with profiler.profile("checkpoint"):
+                    path = save_checkpoint(ckpt_dir, state, global_step)
                 print(f"saved {path}")
+    profiler.print_summary()  # Lightning `profiler: simple` parity
 
 
 if __name__ == "__main__":

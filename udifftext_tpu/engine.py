@@ -325,6 +325,37 @@ class DiffusionEngine:
         (x, saved), _ = jax.lax.scan(step, (x, saved0), xs)
         return x, saved
 
+    def log_images(
+        self,
+        params,
+        batch: Dict[str, Array],
+        rng: jax.Array,
+        n: int = 8,
+        sample: bool = True,
+        num_steps: int = 50,
+        cfg_scale: float = 5.0,
+    ) -> Dict[str, Array]:
+        """Observability dict (reference diffusion.py:280-335): inputs,
+        VAE reconstructions, and fresh samples for the first n batch items."""
+        small = {
+            k: (v[:n] if hasattr(v, "shape") else v[:n])
+            for k, v in batch.items()
+        }
+        x = small["image"]
+        rng_enc, rng_samp = jax.random.split(rng)
+        z = self.encode_first_stage(params, x, rng_enc)
+        log = {
+            "inputs": x,
+            "reconstructions": self.decode_first_stage(params, z),
+        }
+        if sample:
+            imgs, _ = self.sample(
+                params, small, rng_samp, num_steps=num_steps,
+                cfg_scale=cfg_scale, noise_iters=0,
+            )
+            log["samples"] = imgs * 2.0 - 1.0
+        return log
+
     def _attn_map_shapes(self, b: int, n_latent: int, cond) -> Dict[str, Tuple[int, ...]]:
         """Static shapes of the t_attn maps the UNet emits (for scan carries)."""
         plan = self.unet.plan

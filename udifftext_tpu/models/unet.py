@@ -197,6 +197,7 @@ class UNetModel(nn.Module):
     adm_in_channels: Optional[int] = None
     use_label: Optional[int] = None
     use_scale_shift_norm: bool = False
+    remat: bool = False  # gradient checkpointing (reference util.py:77-203)
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
 
@@ -212,17 +213,22 @@ class UNetModel(nn.Module):
         )
 
     def _make_layer(self, spec: LayerSpec, name: str):
+        res_cls, attn_cls = ResBlock, SpatialTransformer
+        if self.remat:
+            # trade recompute for activation memory in grad (training / AAE)
+            res_cls = nn.remat(ResBlock)
+            attn_cls = nn.remat(SpatialTransformer, static_argnums=(4,))
         if spec.kind == "conv":
             return Conv3x3(spec.out_ch, dtype=self.dtype, name=name)
         if spec.kind == "res":
-            return ResBlock(
+            return res_cls(
                 spec.out_ch,
                 use_scale_shift_norm=self.use_scale_shift_norm,
                 dtype=self.dtype,
                 name=name,
             )
         if spec.kind == "attn":
-            return SpatialTransformer(
+            return attn_cls(
                 spec.heads,
                 spec.dim_head,
                 depth=self.transformer_depth,

@@ -56,8 +56,12 @@ class ParseqPredictor:
     model: PARSeq = PARSeq()
     tokenizer: ParseqTokenizer = dataclasses.field(default_factory=ParseqTokenizer)
 
+    @property
+    def img_hw(self):
+        return tuple(self.model.img_size)
+
     def preprocess(self, crops: Array) -> Array:
-        """crops (B, 32, 128, 3) in [0, 1] → normalized (x - .5)/.5."""
+        """crops (B, H, W, 3) in [0, 1] → normalized (x - .5)/.5."""
         return (crops - 0.5) / 0.5
 
     def read_logits(self, params, crops: Array, refine_iters: int = 1) -> Array:
@@ -74,9 +78,10 @@ class ParseqPredictor:
         crop to 32×128 then batch."""
         import cv2
 
+        h, w = self.img_hw
         crops = np.stack(
             [
-                cv2.resize(np.asarray(im, np.float32), (128, 32), interpolation=cv2.INTER_CUBIC)
+                cv2.resize(np.asarray(im, np.float32), (w, h), interpolation=cv2.INTER_CUBIC)
                 for im in images
             ]
         )
@@ -96,7 +101,7 @@ class ParseqPredictor:
         """
         # parity: the reference feeds the raw decoded output (no clamp) to the
         # predictor transform during training (loss.py:178-190)
-        crops = jax.vmap(lambda im, bb: crop_resize_bbox(im, bb))(images, r_bbox)
+        crops = jax.vmap(lambda im, bb: crop_resize_bbox(im, bb, self.img_hw))(images, r_bbox)
         x = self.preprocess(crops)
 
         tgt_in = label_ids[:, :-1]
