@@ -1,0 +1,208 @@
+"""End-to-end CLI script smoke tests: the actual train.py / test.py flows on
+a tiny model graph + synthetic dataset (identical config schema to the
+reference YAMLs)."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+from PIL import Image, ImageDraw, ImageFont
+
+FONT = os.path.join(
+    os.path.dirname(__import__("matplotlib").__file__),
+    "mpl-data/fonts/ttf/DejaVuSans.ttf",
+)
+
+TINY_MODEL_YAML = """
+model:
+  target: sgm.models.diffusion.DiffusionEngine
+  params:
+    opt_keys: [t_attn, t_norm]
+    input_key: image
+    scale_factor: 0.18215
+    denoiser_config:
+      target: sgm.modules.diffusionmodules.denoiser.DiscreteDenoiser
+      params:
+        num_idx: 1000
+        weighting_config: {target: sgm.modules.diffusionmodules.denoiser_weighting.EpsWeighting}
+        scaling_config: {target: sgm.modules.diffusionmodules.denoiser_scaling.EpsScaling}
+        discretization_config: {target: sgm.modules.diffusionmodules.discretizer.LegacyDDPMDiscretization}
+    network_config:
+      target: sgm.modules.diffusionmodules.openaimodel.UnifiedUNetModel
+      params:
+        in_channels: 9
+        out_channels: 4
+        model_channels: 32
+        attention_resolutions: [2, 1]
+        num_res_blocks: 1
+        channel_mult: [1, 2]
+        num_head_channels: 8
+        use_linear_in_transformer: True
+        transformer_depth: 1
+        t_context_dim: 32
+    conditioner_config:
+      target: sgm.modules.GeneralConditioner
+      params:
+        emb_models:
+          - is_trainable: False
+            emb_key: t_crossattn
+            ucg_rate: 0.1
+            input_key: label
+            target: sgm.modules.encoders.modules.LabelEncoder
+            params: {max_len: 12, emb_dim: 32, n_heads: 4, n_trans_layers: 2}
+          - is_trainable: False
+            input_key: mask
+            target: sgm.modules.encoders.modules.SpatialRescaler
+            params: {in_channels: 1, multiplier: 0.5}
+          - is_trainable: False
+            input_key: masked
+            target: sgm.modules.encoders.modules.LatentEncoder
+            params: {scale_factor: 0.18215}
+    first_stage_config:
+      target: sgm.models.autoencoder.AutoencoderKLInferenceWrapper
+      params:
+        embed_dim: 4
+        ddconfig:
+          double_z: true
+          z_channels: 4
+          resolution: 32
+          in_channels: 3
+          out_ch: 3
+          ch: 32
+          ch_mult: [1, 2]
+          num_res_blocks: 1
+          attn_resolutions: []
+    loss_fn_config:
+      target: sgm.modules.diffusionmodules.loss.FullLoss
+      params:
+        seq_len: 12
+        kernel_size: 3
+        gaussian_sigma: 1.0
+        min_attn_size: 8
+        lambda_local_loss: 0.01
+        ocr_enabled: False
+        sigma_sampler_config:
+          target: sgm.modules.diffusionmodules.sigma_sampling.DiscreteSampling
+          params:
+            num_idx: 1000
+            discretization_config: {target: sgm.modules.diffusionmodules.discretizer.LegacyDDPMDiscretization}
+    sampler_config:
+      target: sgm.modules.diffusionmodules.sampling.EulerEDMSampler
+      params:
+        num_steps: 2
+        discretization_config: {target: sgm.modules.diffusionmodules.discretizer.LegacyDDPMDiscretization}
+        guider_config:
+          target: sgm.modules.diffusionmodules.guiders.VanillaCFG
+          params: {scale: 5.0}
+"""
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    # dataset fixture
+    droot = root / "data" / "ICDAR13" / "val"
+    (droot / "images").mkdir(parents=True)
+    (droot / "annos").mkdir()
+    img = Image.new("RGB", (100, 80), (90, 90, 90))
+    ImageDraw.Draw(img).text((30, 30), "ab", fill=(250, 250, 250),
+                             font=ImageFont.truetype(FONT, 20))
+    img.save(droot / "images" / "img1.jpg")
+    (droot / "annos" / "gt_img1.txt").write_text('28, 28, 70, 55, "ab"\n')
+    # train split mirrors val
+    import shutil
+
+    shutil.copytree(droot, root / "data" / "ICDAR13" / "train")
+
+    (root / "model.yaml").write_text(TINY_MODEL_YAML)
+    (root / "dataset.yaml").write_text(textwrap.dedent(f"""
+        target: ICDAR13Dataset
+        params:
+          data_root: '{root / "data"}'
+          H: 32
+          W: 32
+          word_len: [1, 8]
+          seq_len: 12
+          mask_min_ratio: 0.01
+          aug_text_enabled: False
+          aug_text_ratio: 0.0
+    """))
+    return root
+
+
+def test_test_py_flow(workspace):
+    """The full test.py flow: init_model from YAML → sample → image dumps."""
+    from udifftext_tpu.config import ConfigNode
+    from udifftext_tpu.data import get_dataloader
+    import test as test_script
+    from util import init_model, init_sampling
+
+    cfgs = ConfigNode.wrap({
+        "model_cfg_path": str(workspace / "model.yaml"),
+        "dataset_cfg_path": str(workspace / "dataset.yaml"),
+        "load_ckpt_path": None,
+        "output_dir": str(workspace / "outputs"),
+        "temp_dir": str(workspace / "temp"),
+        "scale": [5.0, 0.0],
+        "noise_iters": 1,
+        "force_uc_zero_embeddings": ["label"],
+        "aae_enabled": False,
+        "detailed": False,
+        "bf16": False,
+        "steps": 2,
+        "batch_size": 1,
+        "max_iter": 1,
+        "shuffle": False,
+        "quan_test": False,
+        "ocr_enabled": False,
+    })
+    bundle, params = init_model(cfgs, image_size=32)
+    assert bundle.engine.latent_factor == 2
+    assert bundle.engine.mask_multiplier == 0.5
+    sampler = init_sampling(cfgs)
+    assert sampler.num_steps == 2 and sampler.cfg_scale == 5.0
+    dataloader = get_dataloader(cfgs, "val")
+    test_script.test(bundle, params, sampler, dataloader, cfgs)
+    out = workspace / "outputs"
+    assert (out / "fake" / "0.png").exists()
+    assert (out / "real" / "0.png").exists()
+
+
+def test_train_py_flow(workspace):
+    """One optimizer step through the actual train.py helpers."""
+    import jax
+    import numpy as np
+
+    from udifftext_tpu.config import ConfigNode
+    from udifftext_tpu.data import get_dataloader
+    from udifftext_tpu.parallel.mesh import make_mesh
+    from udifftext_tpu.parallel.train import TrainState, make_optimizer, make_train_step
+    from util import init_model, numpy_batch_to_device
+    import train as train_script
+
+    cfgs = ConfigNode.wrap({
+        "model_cfg_path": str(workspace / "model.yaml"),
+        "dataset_cfg_path": str(workspace / "dataset.yaml"),
+        "load_ckpt_path": None,
+        "batch_size": 1,
+        "base_learning_rate": 1e-4,
+        "shuffle": False,
+        "bf16": False,
+    })
+    bundle, params = init_model(cfgs, image_size=32)
+    engine = bundle.engine
+    loader = get_dataloader(cfgs, "train")
+    batch = next(iter(loader))
+    # ICDAR13 has no char segmentation → provide zero seg like eval-only data
+    b, h, w, _ = batch["image"].shape
+    batch["seg"] = np.zeros((b, h, w, 12), np.float32)
+
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    opt = make_optimizer(params, base_lr=1e-4, opt_keys=bundle.opt_keys, steps_per_epoch=1)
+    step = make_train_step(engine.loss, opt, accum_steps=1, mesh=mesh, donate=False)
+    state = TrainState.create(params, opt)
+    stacked = {k: batch[k] for k in train_script.BATCH_KEYS if k in batch}
+    state2, loss, _ = step(state, numpy_batch_to_device(stacked), jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    assert int(state2.step) == 1

@@ -149,3 +149,18 @@ def test_zoom_to_mask_recenters():
     assert 0 <= t < b <= img2.shape[0]
     assert 0 <= l < r <= img2.shape[1]
     assert (mask2[t:b, l:r] == 0).all()
+
+
+def test_str_augment():
+    from udifftext_tpu.data.str_augment import STRAugment
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(32, 128, 3).astype(np.float32)
+    aug = STRAugment(n_ops=3, magnitude=0.5, seed=0)
+    out = aug(img)
+    assert out.shape == (32, 128, 3)
+    assert out.dtype == np.float32
+    assert 0.0 <= out.min() and out.max() <= 1.0
+    # deterministic under seed
+    out2 = STRAugment(n_ops=3, magnitude=0.5, seed=0)(img)
+    np.testing.assert_array_equal(out, out2)

@@ -146,12 +146,16 @@ def build_diffusion_engine(model_cfg: Dict[str, Any], unet_dtype=jnp.bfloat16) -
     label_ckpt = None
     vae_ckpt = _get(p.get("first_stage_config"), "params", {}).get("ckpt_path")
     ucg_rate = 0.1
+    mask_multiplier = 0.125
     for emb in _get(p.get("conditioner_config"), "params", {}).get("emb_models", []):
         if "LabelEncoder" in emb.get("target", ""):
             label_params = emb.get("params", {}) or {}
             label_ckpt = label_params.get("ckpt_path")
             ucg_rate = emb.get("ucg_rate", 0.1)
+        if "SpatialRescaler" in emb.get("target", ""):
+            mask_multiplier = (emb.get("params", {}) or {}).get("multiplier", 0.125)
     label_encoder = build_label_encoder(label_params)
+    latent_factor = 2 ** (len(vae.cfg.ch_mult) - 1)
 
     denoiser = build_discrete_denoiser(**(_get(p.get("denoiser_config"), "params", {}) or {}))
 
@@ -194,6 +198,8 @@ def build_diffusion_engine(model_cfg: Dict[str, Any], unet_dtype=jnp.bfloat16) -
         loss_cfg=loss_cfg,
         scale_factor=p.get("scale_factor", 0.18215),
         ucg_rate_label=ucg_rate,
+        mask_multiplier=mask_multiplier,
+        latent_factor=latent_factor,
         ocr_predictor=ocr_predictor,
     )
     return EngineBundle(
