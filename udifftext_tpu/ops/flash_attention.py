@@ -138,19 +138,22 @@ def _fa_bwd(scale, block_q, block_k, res, g):
     q, k, v = res
     d = q.shape[-1]
     s = d**-0.5 if scale is None else scale
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    gf = g.astype(jnp.float32)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf) * s
+    # fp32 primals must use exact matmuls; bf16 primals ride the native MXU
+    # path with fp32 accumulation
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    ein = lambda spec, a, b: jnp.einsum(
+        spec, a, b, precision=prec, preferred_element_type=jnp.float32
+    )
+    logits = ein("bqhd,bkhd->bhqk", q, k) * s
     p = jax.nn.softmax(logits, axis=-1)
-    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gf)
-    dp = jnp.einsum("bqhd,bkhd->bhqk", gf, vf)
+    pq = p.astype(q.dtype)
+    dv = ein("bhqk,bqhd->bkhd", pq, g)
+    dp = ein("bqhd,bkhd->bhqk", g, v)
     # softmax vjp: dlogits = p * (dp - sum_k(p * dp))
     dsum = jnp.sum(p * dp, axis=-1, keepdims=True)
-    dlogits = p * (dp - dsum)
-    dq = jnp.einsum("bhqk,bkhd->bqhd", dlogits, kf) * s
-    dk = jnp.einsum("bhqk,bqhd->bkhd", dlogits, qf) * s
+    dlogits = (p * (dp - dsum)).astype(q.dtype)
+    dq = ein("bhqk,bkhd->bqhd", dlogits, k) * s
+    dk = ein("bhqk,bqhd->bkhd", dlogits, q) * s
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
