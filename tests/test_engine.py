@@ -113,3 +113,52 @@ def test_sample_aae_detailed(engine_and_params):
     assert any(k.endswith("t_attn") for k in aux)
     for k, v in aux.items():
         assert np.all(np.isfinite(np.asarray(v)))
+
+
+def test_unet_ctrl_block_and_label_paths():
+    """Config-surface paths unused by the shipped configs: ControlNet-style
+    ctrl_block (openaimodel.py:363-380) and class conditioning (label_emb)."""
+    from udifftext_tpu.models.unet import UNetModel
+
+    m = UNetModel(
+        in_channels=4, ctrl_channels=3, out_channels=4, model_channels=32,
+        num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+        num_head_channels=8, t_context_dim=16, use_label=1, adm_in_channels=8,
+    )
+    x = jnp.zeros((1, 16, 16, 7))  # 4 latent + 3 ctrl hint channels
+    t = jnp.zeros((1,))
+    tc = jnp.zeros((1, 12, 16))
+    y = jnp.zeros((1, 8))
+    params = m.init(jax.random.PRNGKey(0), x, t, tc, None, y)
+    out, _ = m.apply(params, x, t, tc, None, y)
+    assert out.shape == (1, 16, 16, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # ctrl + label params exist
+    flat = params["params"]
+    assert "ctrl_conv_0" in flat and "ctrl_conv_out" in flat
+    assert "label_embed_0" in flat
+
+
+def test_unet_remat_grads():
+    """remat (gradient checkpointing) path produces identical grads."""
+    from udifftext_tpu.models.unet import UNetModel
+
+    kw = dict(in_channels=4, out_channels=4, model_channels=32, num_res_blocks=1,
+              attention_resolutions=(2,), channel_mult=(1, 2), num_head_channels=8,
+              t_context_dim=16)
+    m0 = UNetModel(**kw)
+    m1 = UNetModel(remat=True, **kw)
+    x = jnp.ones((1, 16, 16, 4)) * 0.1
+    t = jnp.zeros((1,))
+    tc = jnp.ones((1, 12, 16)) * 0.1
+    params = m0.init(jax.random.PRNGKey(0), x, t, tc)
+
+    def loss(m, p):
+        out, _ = m.apply(p, x, t, tc)
+        return jnp.sum(out**2)
+
+    g0 = jax.grad(lambda p: loss(m0, p))(params)
+    g1 = jax.grad(lambda p: loss(m1, p))(params)
+    a = jnp.concatenate([v.reshape(-1) for v in jax.tree.leaves(g0)])
+    b = jnp.concatenate([v.reshape(-1) for v in jax.tree.leaves(g1)])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
