@@ -50,3 +50,47 @@ def test_abinet_forward():
     out = m.apply(params, x)
     assert out.shape == (2, 6, 37)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_trba_torch_parity():
+    """Random-init torch TRBA → convert → forward parity (greedy decode)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from torch_ref import install_stubs, reference_available
+
+    if not reference_available():
+        import pytest
+        pytest.skip("reference not mounted")
+    install_stubs()
+    import torch
+    from strhub.models.trba.model import TRBA as TorchTRBA
+    from udifftext_tpu.models.trba import TRBA
+    from udifftext_tpu.utils.ckpt_torch import convert_trba
+
+    torch.manual_seed(0)
+    tm = TorchTRBA(img_h=32, img_w=64, num_class=38, num_fiducial=20,
+                   input_channel=3, output_channel=64, hidden_size=32).eval()
+    g = torch.Generator().manual_seed(9)
+    with torch.no_grad():
+        for n, p in tm.named_parameters():
+            if "localization_fc2" in n:
+                continue  # keep the RARE fiducial-grid init
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    sd = {f"model.{k}": v.detach().numpy() for k, v in tm.state_dict().items()}
+    conv = convert_trba(sd)
+    assert not conv["unknown"], conv["unknown"][:10]
+
+    jm = TRBA(num_class=38, max_label_length=5, output_channel=64, hidden=32,
+              img_size=(32, 64))
+    rng = np.random.RandomState(3)
+    x = rng.rand(2, 32, 64, 3).astype(np.float32) * 2 - 1
+
+    with torch.no_grad():
+        # strhub greedy path: text = [SOS]=bos filled; Attention eval branch
+        text = torch.zeros((1,), dtype=torch.long)
+        tout = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)), 5, text).numpy()
+
+    variables = {"params": conv["params"], "batch_stats": conv["batch_stats"]}
+    jout = np.asarray(jm.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(jout, tout, rtol=5e-3, atol=5e-4)

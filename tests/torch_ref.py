@@ -120,11 +120,42 @@ def install_stubs():
         for n in ("Compose", "Resize", "Normalize", "Grayscale", "ToTensor"):
             setattr(tv_transforms, n, _Noop)
         tv_transforms.InterpolationMode = InterpolationMode
+
+        # functional torchvision.models.resnet.BasicBlock (used by TRBA)
+        tv_models = _mkmod("torchvision.models")
+        tv_resnet = _mkmod("torchvision.models.resnet")
+
+        class BasicBlock(torch.nn.Module):
+            expansion = 1
+
+            def __init__(self, inplanes, planes, stride=1, downsample=None, **kw):
+                super().__init__()
+                self.conv1 = torch.nn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+                self.bn1 = torch.nn.BatchNorm2d(planes)
+                self.relu = torch.nn.ReLU(inplace=True)
+                self.conv2 = torch.nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+                self.bn2 = torch.nn.BatchNorm2d(planes)
+                self.downsample = downsample
+                self.stride = stride
+
+            def forward(self, x):
+                identity = x
+                out = self.relu(self.bn1(self.conv1(x)))
+                out = self.bn2(self.conv2(out))
+                if self.downsample is not None:
+                    identity = self.downsample(x)
+                return self.relu(out + identity)
+
+        tv_resnet.BasicBlock = BasicBlock
+        tv_models.resnet = tv_resnet
+        tv.models = tv_models
         tv.utils = tv_utils
         tv.transforms = tv_transforms
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.utils"] = tv_utils
         sys.modules["torchvision.transforms"] = tv_transforms
+        sys.modules["torchvision.models"] = tv_models
+        sys.modules["torchvision.models.resnet"] = tv_resnet
 
     # --- timm (functional mini-ViT with timm naming; see timm_stub.py) ---
     sys.path.insert(0, str(Path(__file__).parent))

@@ -59,6 +59,16 @@ def create_model(name: str, ckpt_path: Optional[str] = None, **overrides):
             from ..utils.ckpt_torch import convert_parseq
 
             params = {"params": convert_parseq(load_torch_state_dict(ckpt_path))["params"]}
+        elif name == "trba":
+            from ..utils.ckpt_torch import convert_trba
+
+            conv = convert_trba(load_torch_state_dict(ckpt_path))
+            params = {"params": conv["params"], "batch_stats": conv["batch_stats"]}
+        elif name == "vitstr":
+            from ..utils.ckpt_torch import convert_vit
+
+            conv = convert_vit(load_torch_state_dict(ckpt_path), prefix="model.")
+            params = {"params": {"vit": conv["params"]}}
         else:
             raise NotImplementedError(
                 f"checkpoint conversion for {name} is not wired yet; "

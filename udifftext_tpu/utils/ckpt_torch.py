@@ -476,3 +476,145 @@ def merge_params(init_params: Dict, loaded: Dict, path: str = ""):
 
     merged = rec(init_params, loaded, path)
     return merged, missing, unexpected, mismatched
+
+
+# ---------------------------------------------------------------------------
+# TRBA (strhub trba/*.py) — incl. torch-LSTM → flax per-gate layout
+# ---------------------------------------------------------------------------
+
+
+def _lstm_gates(out: Dict, base: Tuple[str, ...], w_ih, w_hh, b_ih, b_hh):
+    """torch LSTM packed (4h, in) [i,f,g,o] chunks → flax ii/if/ig/io kernels
+    (+ hi/hf/hg/ho with combined bias)."""
+    h = w_hh.shape[1]
+    names = ("i", "f", "g", "o")
+    for gi, gname in enumerate(names):
+        sl = slice(gi * h, (gi + 1) * h)
+        _set(out, base + (f"i{gname}", "kernel"), t_lin(w_ih[sl]))
+        _set(out, base + (f"h{gname}", "kernel"), t_lin(w_hh[sl]))
+        _set(out, base + (f"h{gname}", "bias"), b_ih[sl] + b_hh[sl])
+
+
+def _set_bn(params: Dict, stats: Dict, path: Tuple[str, ...], sub: str, v):
+    if sub == "weight":
+        _set(params, path + ("scale",), v)
+    elif sub == "bias":
+        _set(params, path + ("bias",), v)
+    elif sub == "running_mean":
+        _set(stats, path + ("mean",), v)
+    elif sub == "running_var":
+        _set(stats, path + ("var",), v)
+
+
+def convert_trba(sd: Dict[str, np.ndarray], prefix: str = "model.") -> Dict:
+    """strhub TRBA checkpoint → models/trba.py params + batch_stats."""
+    sd = strip_prefix(sd, prefix) if prefix else dict(sd)
+    params: Dict = {}
+    stats: Dict = {}
+    unknown = []
+
+    # torch Sequential indices of the localization conv stack: convs at
+    # 0,4,8,12 and BNs at 1,5,9,13 (transformation.py:50-60)
+    loc_conv = {0: 0, 4: 1, 8: 2, 12: 3}
+    loc_bn = {1: 0, 5: 1, 9: 2, 13: 3}
+
+    # collect LSTM tensors, emit once per cell
+    lstms: Dict[Tuple[str, ...], Dict[str, np.ndarray]] = {}
+
+    for key, v in sd.items():
+        parts = key.split(".")
+        if key.endswith("num_batches_tracked"):
+            continue
+        if parts[0] == "Transformation":
+            body = parts[2:]
+            if body[0] == "conv":
+                idx = int(body[1])
+                if idx in loc_conv and body[2] == "weight":
+                    _set(params, ("tps", "loc", f"conv{loc_conv[idx]}", "kernel"), t_conv(v))
+                elif idx in loc_bn:
+                    _set_bn(params, stats, ("tps", "loc", f"bn{loc_bn[idx]}"), body[2], v)
+                else:
+                    unknown.append(key)
+            elif body[0] == "localization_fc1":
+                _set(params, ("tps", "loc", "fc1", "Dense_0",
+                              "kernel" if body[2] == "weight" else "bias"),
+                     _val("lin", body[2], v))
+            elif body[0] == "localization_fc2":
+                if body[1] == "weight":
+                    _set(params, ("tps", "loc", "fc2_kernel"), t_lin(v))
+                else:
+                    _set(params, ("tps", "loc", "fc2_bias"), v)
+            elif parts[1] == "GridGenerator":
+                continue  # closed-form constants, recomputed
+            else:
+                unknown.append(key)
+        elif parts[0] == "FeatureExtraction":
+            body = parts[2:]  # skip 'ConvNet'
+            name, sub = body[0], body[-1]
+            if name.startswith("layer"):
+                li, bi = name[5:], body[1]
+                base = ("resnet", f"layer{li}_{bi}")
+                mod = body[2]
+                if mod in ("conv1", "conv2"):
+                    _set(params, base + (mod, "kernel"), t_conv(v))
+                elif mod in ("bn1", "bn2"):
+                    _set_bn(params, stats, base + (mod,), sub, v)
+                elif mod == "downsample":
+                    if body[3] == "0":
+                        _set(params, base + ("down_conv", "kernel"), t_conv(v))
+                    else:
+                        _set_bn(params, stats, base + ("down_bn",), sub, v)
+                else:
+                    unknown.append(key)
+            elif name.startswith("conv"):
+                _set(params, ("resnet", name, "kernel"), t_conv(v))
+            elif name.startswith("bn"):
+                _set_bn(params, stats, ("resnet", name), sub, v)
+            else:
+                unknown.append(key)
+        elif parts[0] == "SequenceModeling":
+            mod = f"rnn{parts[1]}"
+            if parts[2] == "rnn":
+                lstms.setdefault((mod,), {})[parts[3]] = v
+            elif parts[2] == "linear":
+                _set(params, (mod, "proj", "Dense_0",
+                              "kernel" if parts[3] == "weight" else "bias"),
+                     _val("lin", parts[3], v))
+            else:
+                unknown.append(key)
+        elif parts[0] == "Prediction":
+            body = parts[1:]
+            if body[0] == "attention_cell":
+                mod = body[1]
+                if mod in ("i2h", "h2h", "score"):
+                    _set(params, ("attn", "cell", mod, "Dense_0",
+                                  "kernel" if body[2] == "weight" else "bias"),
+                         _val("lin", body[2], v))
+                elif mod == "rnn":
+                    lstms.setdefault(("attn", "cell", "rnn"), {})[body[2]] = v
+                else:
+                    unknown.append(key)
+            elif body[0] == "generator":
+                _set(params, ("attn", "generator", "Dense_0",
+                              "kernel" if body[1] == "weight" else "bias"),
+                     _val("lin", body[1], v))
+            elif body[0] == "char_embeddings":
+                _set(params, ("attn", "char_embeddings", "embedding"), v)
+            else:
+                unknown.append(key)
+        else:
+            unknown.append(key)
+
+    for base, tensors in lstms.items():
+        if "weight_ih" in tensors:  # LSTMCell (attention decoder)
+            _lstm_gates(params, base, tensors["weight_ih"], tensors["weight_hh"],
+                        tensors["bias_ih"], tensors["bias_hh"])
+        else:  # bidirectional nn.LSTM: fwd = cell_0, reverse = cell_1
+            _lstm_gates(params, base + ("OptimizedLSTMCell_0",),
+                        tensors["weight_ih_l0"], tensors["weight_hh_l0"],
+                        tensors["bias_ih_l0"], tensors["bias_hh_l0"])
+            _lstm_gates(params, base + ("OptimizedLSTMCell_1",),
+                        tensors["weight_ih_l0_reverse"], tensors["weight_hh_l0_reverse"],
+                        tensors["bias_ih_l0_reverse"], tensors["bias_hh_l0_reverse"])
+
+    return {"params": params, "batch_stats": stats, "unknown": unknown}
