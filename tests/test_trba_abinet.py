@@ -94,3 +94,70 @@ def test_trba_torch_parity():
     variables = {"params": conv["params"], "batch_stats": conv["batch_stats"]}
     jout = np.asarray(jm.apply(variables, jnp.asarray(x)))
     np.testing.assert_allclose(jout, tout, rtol=5e-3, atol=5e-4)
+
+
+def test_abinet_torch_parity():
+    """Random-init torch ABINetIterModel → convert → final aligned logits."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from torch_ref import install_stubs, reference_available
+
+    if not reference_available():
+        import pytest
+        pytest.skip("reference not mounted")
+    install_stubs()
+    import copy
+    import torch
+
+    # torch 2.13's nn.TransformerDecoder probes layer.self_attn, which the
+    # BCN layer omits (self_attn=False); swap in a plain iterate-and-norm stack
+    class _SimpleDecoder(torch.nn.Module):
+        def __init__(self, layer, num_layers, norm=None):
+            super().__init__()
+            self.layers = torch.nn.ModuleList(
+                [copy.deepcopy(layer) for _ in range(num_layers)]
+            )
+            self.norm = norm
+
+        def forward(self, tgt, memory, **kw):
+            out = tgt
+            for l in self.layers:
+                out = l(out, memory, **kw)
+            return self.norm(out) if self.norm is not None else out
+
+    from strhub.models.abinet import model_language
+    model_language.TransformerDecoder = _SimpleDecoder
+    from strhub.models.abinet.model_abinet_iter import ABINetIterModel
+    from udifftext_tpu.models.abinet import ABINet
+    from udifftext_tpu.utils.ckpt_torch import convert_abinet
+
+    torch.manual_seed(0)
+    # NOTE: the torch resnet45 is hardcoded 512-wide, so parity runs at
+    # d_model=512 with single-layer transformers to stay cheap
+    tm = ABINetIterModel(
+        dataset_max_length=5, null_label=0, num_classes=37, iter_size=1,
+        d_model=512, nhead=8, d_inner=128, dropout=0.0, activation="relu",
+        v_backbone="transformer", v_num_layers=1,
+        l_num_layers=1, l_detach=True, l_use_self_attn=False,
+    ).eval()
+    g = torch.Generator().manual_seed(11)
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    sd = {f"model.{k}": v.detach().numpy() for k, v in tm.state_dict().items()}
+    conv = convert_abinet(sd)
+    assert not conv["unknown"], conv["unknown"][:10]
+
+    jm = ABINet(max_length=6, num_classes=37, iter_size=1, d_model=512,
+                nhead=8, d_inner=128, v_num_layers=1, l_num_layers=1)
+    rng = np.random.RandomState(4)
+    x = rng.rand(1, 32, 128, 3).astype(np.float32) * 2 - 1
+
+    with torch.no_grad():
+        a_res, _, _ = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        tout = a_res["logits"].numpy()
+
+    variables = {"params": conv["params"], "batch_stats": conv["batch_stats"]}
+    jout = np.asarray(jm.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(jout, tout, rtol=5e-3, atol=5e-4)

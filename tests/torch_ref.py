@@ -125,15 +125,22 @@ def install_stubs():
         tv_models = _mkmod("torchvision.models")
         tv_resnet = _mkmod("torchvision.models.resnet")
 
+        def conv3x3(inp, out, stride=1):
+            return torch.nn.Conv2d(inp, out, 3, stride, 1, bias=False)
+
+        def conv1x1(inp, out, stride=1):
+            return torch.nn.Conv2d(inp, out, 1, stride, bias=False)
+
         class BasicBlock(torch.nn.Module):
             expansion = 1
 
-            def __init__(self, inplanes, planes, stride=1, downsample=None, **kw):
+            def __init__(self, inplanes, planes, stride=1, downsample=None,
+                         groups=1, base_width=64, dilation=1, norm_layer=None, **kw):
                 super().__init__()
-                self.conv1 = torch.nn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+                self.conv1 = conv3x3(inplanes, planes, stride)
                 self.bn1 = torch.nn.BatchNorm2d(planes)
                 self.relu = torch.nn.ReLU(inplace=True)
-                self.conv2 = torch.nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+                self.conv2 = conv3x3(planes, planes)
                 self.bn2 = torch.nn.BatchNorm2d(planes)
                 self.downsample = downsample
                 self.stride = stride
@@ -147,6 +154,8 @@ def install_stubs():
                 return self.relu(out + identity)
 
         tv_resnet.BasicBlock = BasicBlock
+        tv_resnet.conv1x1 = conv1x1
+        tv_resnet.conv3x3 = conv3x3
         tv_models.resnet = tv_resnet
         tv.models = tv_models
         tv.utils = tv_utils
@@ -171,6 +180,10 @@ def install_stubs():
     timm_vit.PatchEmbed = timm_stub.PatchEmbed
     timm_helpers.named_apply = timm_stub.named_apply
     timm_optim.create_optimizer_v2 = lambda *a, **k: None
+    timm_optim_factory = _mkmod("timm.optim.optim_factory")
+    timm_optim_factory.param_groups_weight_decay = lambda *a, **k: []
+    timm_optim.optim_factory = timm_optim_factory
+    sys.modules["timm.optim.optim_factory"] = timm_optim_factory
     timm_models.vision_transformer = timm_vit
     timm_models.helpers = timm_helpers
     timm.models = timm_models

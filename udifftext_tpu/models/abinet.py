@@ -51,11 +51,11 @@ class ABIBasicBlock(nn.Module):
     def __call__(self, x):
         identity = x
         # abinet BasicBlock uses conv1x1 then conv3x3 (resnet.py:8-16)
-        h = nn.relu(_bn("bn1")(_conv(self.planes, k=1, p=0, name="conv1")(x)))
-        h = _bn("bn2")(_conv(self.planes, k=3, s=self.stride, name="conv2")(h))
+        h = nn.relu(_bn("bn1")(_conv(self.planes, k=1, p=0, name="conv1", use_bias=False)(x)))
+        h = _bn("bn2")(_conv(self.planes, k=3, s=self.stride, name="conv2", use_bias=False)(h))
         if self.stride != 1 or x.shape[-1] != self.planes:
             identity = _bn("down_bn")(
-                _conv(self.planes, k=1, s=self.stride, p=0, name="down_conv")(x)
+                _conv(self.planes, k=1, s=self.stride, p=0, name="down_conv", use_bias=False)(x)
             )
         return nn.relu(h + identity)
 
@@ -159,10 +159,14 @@ class BaseVision(nn.Module):
     max_length: int = 26
     num_classes: int = 37
     d_model: int = 512
+    nhead: int = 8
+    d_inner: int = 2048
+    num_layers: int = 2  # v_num_layers / backbone_ln
 
     @nn.compact
     def __call__(self, images):
-        feat = ResTransformer(self.d_model, name="backbone")(images)
+        feat = ResTransformer(self.d_model, self.nhead, self.d_inner,
+                              self.num_layers, name="backbone")(images)
         vecs, scores = PositionAttention(self.max_length, self.d_model, name="attention")(feat)
         logits = Dense(self.num_classes, name="cls")(vecs)
         return {"feature": vecs, "logits": logits, "attn_scores": scores}
@@ -248,11 +252,17 @@ class ABINet(nn.Module):
     num_classes: int = 37
     iter_size: int = 3
     d_model: int = 512
+    nhead: int = 8
+    d_inner: int = 2048
+    v_num_layers: int = 2
+    l_num_layers: int = 4
 
     @nn.compact
     def __call__(self, images):
-        vision = BaseVision(self.max_length, self.num_classes, self.d_model, name="vision")
-        language = BCNLanguage(self.max_length, self.num_classes, self.d_model, name="language")
+        vision = BaseVision(self.max_length, self.num_classes, self.d_model,
+                            self.nhead, self.d_inner, self.v_num_layers, name="vision")
+        language = BCNLanguage(self.max_length, self.num_classes, self.d_model,
+                               self.nhead, self.d_inner, self.l_num_layers, name="language")
         align = BaseAlignment(self.num_classes, name="alignment")
 
         v_res = vision(images)

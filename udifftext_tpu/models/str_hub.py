@@ -19,7 +19,7 @@ _BASE_CONFIGS = {
                         dec_depth=1, dec_num_heads=6),
     "vitstr": dict(max_label_length=25, img_size=(32, 128), patch_size=(4, 8),
                    embed_dim=384, depth=12, num_heads=6, num_classes=95),
-    "abinet": dict(max_length=26, num_classes=37, iter_size=3, d_model=512),
+    "abinet": dict(max_length=26, num_classes=37, iter_size=3, d_model=512, v_num_layers=3),
     "trba": dict(num_class=96, max_label_length=25, img_size=(32, 128)),
     "crnn": dict(num_classes=95),
 }
@@ -69,6 +69,11 @@ def create_model(name: str, ckpt_path: Optional[str] = None, **overrides):
 
             conv = convert_vit(load_torch_state_dict(ckpt_path), prefix="model.")
             params = {"params": {"vit": conv["params"]}}
+        elif name == "abinet":
+            from ..utils.ckpt_torch import convert_abinet
+
+            conv = convert_abinet(load_torch_state_dict(ckpt_path))
+            params = {"params": conv["params"], "batch_stats": conv["batch_stats"]}
         else:
             raise NotImplementedError(
                 f"checkpoint conversion for {name} is not wired yet; "

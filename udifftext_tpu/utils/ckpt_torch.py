@@ -618,3 +618,123 @@ def convert_trba(sd: Dict[str, np.ndarray], prefix: str = "model.") -> Dict:
                         tensors["bias_ih_l0_reverse"], tensors["bias_hh_l0_reverse"])
 
     return {"params": params, "batch_stats": stats, "unknown": unknown}
+
+
+# ---------------------------------------------------------------------------
+# ABINet (strhub abinet/*.py)
+# ---------------------------------------------------------------------------
+
+
+def _abi_mha(out: Dict, base: Tuple[str, ...], sub: str, wb: str, v):
+    """torch nn.MultiheadAttention → TorchMHA paths."""
+    if sub in ("in_proj_weight", "in_proj_bias"):
+        kind = "kernel" if sub.endswith("weight") else "bias"
+        _set(out, base + (f"in_proj_{kind}",), t_lin(v) if kind == "kernel" else v)
+    elif sub == "out_proj":
+        _set(out, base + ("out_proj",) + _leaf("lin", wb), _val("lin", wb, v))
+
+
+def convert_abinet(sd: Dict[str, np.ndarray], prefix: str = "model.") -> Dict:
+    """strhub ABINet checkpoint → models/abinet.py params + batch_stats."""
+    sd = strip_prefix(sd, prefix) if prefix else dict(sd)
+    params: Dict = {}
+    stats: Dict = {}
+    unknown = []
+
+    for key, v in sd.items():
+        if key.endswith("num_batches_tracked") or ".pe" in key:
+            continue  # BN counters / fixed positional buffers (recomputed)
+        parts = key.split(".")
+        wb = parts[-1]
+
+        if parts[0] == "vision":
+            if parts[1] == "backbone" and parts[2] == "resnet":
+                body = parts[3:]
+                base = ("vision", "backbone", "resnet")
+                if body[0] == "conv1":
+                    _set(params, base + ("conv0", "kernel"), t_conv(v))
+                elif body[0] == "bn1" and len(body) == 2:
+                    _set_bn(params, stats, base + ("bn0",), wb, v)
+                elif body[0].startswith("layer"):
+                    li, bi = body[0][5:], body[1]
+                    bb = base + (f"layer{li}_{bi}",)
+                    mod = body[2]
+                    if mod in ("conv1", "conv2"):
+                        _set(params, bb + (mod, "kernel"), t_conv(v))
+                    elif mod in ("bn1", "bn2"):
+                        _set_bn(params, stats, bb + (mod,), wb, v)
+                    elif mod == "downsample":
+                        if body[3] == "0":
+                            _set(params, bb + ("down_conv", "kernel"), t_conv(v))
+                        else:
+                            _set_bn(params, stats, bb + ("down_bn",), wb, v)
+                    else:
+                        unknown.append(key)
+                else:
+                    unknown.append(key)
+            elif parts[1] == "backbone" and parts[2] == "transformer":
+                n = parts[4]
+                base = ("vision", "backbone", f"enc_{n}")
+                sub = parts[5]
+                if sub == "self_attn":
+                    _abi_mha(params, base + ("self_attn",),
+                             parts[6] if parts[6].startswith("in_proj") else "out_proj",
+                             wb, v)
+                elif sub in ("linear1", "linear2"):
+                    _set(params, base + (sub,) + _leaf("lin", wb), _val("lin", wb, v))
+                elif sub in ("norm1", "norm2"):
+                    _set(params, base + (sub, "scale" if wb == "weight" else "bias"), v)
+                else:
+                    unknown.append(key)
+            elif parts[1] == "attention":
+                base = ("vision", "attention")
+                if parts[2] == "k_encoder":
+                    i, j = parts[3], parts[4]  # Sequential(conv=0, bn=1)
+                    if j == "0":
+                        _set(params, base + (f"ke_conv{i}",) + (("kernel",) if wb == "weight" else ("bias",)), _val("conv", wb, v))
+                    else:
+                        _set_bn(params, stats, base + (f"ke_bn{i}",), wb, v)
+                elif parts[2] == "k_decoder":
+                    i, j = parts[3], parts[4]  # Sequential(up=0, conv=1, bn=2)
+                    if j == "1":
+                        _set(params, base + (f"kd_conv{i}",) + (("kernel",) if wb == "weight" else ("bias",)), _val("conv", wb, v))
+                    else:
+                        _set_bn(params, stats, base + (f"kd_bn{i}",), wb, v)
+                elif parts[2] == "project":
+                    _set(params, base + ("project",) + _leaf("lin", wb), _val("lin", wb, v))
+                else:
+                    unknown.append(key)
+            elif parts[1] == "cls":
+                _set(params, ("vision", "cls") + _leaf("lin", wb), _val("lin", wb, v))
+            else:
+                unknown.append(key)
+        elif parts[0] == "language":
+            if parts[1] == "proj":
+                _set(params, ("language", "proj") + _leaf("lin", wb), _val("lin", wb, v))
+            elif parts[1] == "model" and parts[2] == "layers":
+                n = parts[3]
+                base = ("language", f"layer_{n}")
+                sub = parts[4]
+                if sub == "multihead_attn":
+                    _abi_mha(params, base + ("multihead_attn",),
+                             parts[5] if parts[5].startswith("in_proj") else "out_proj",
+                             wb, v)
+                elif sub in ("linear1", "linear2"):
+                    _set(params, base + (sub,) + _leaf("lin", wb), _val("lin", wb, v))
+                elif sub in ("norm2", "norm3"):
+                    _set(params, base + (sub, "scale" if wb == "weight" else "bias"), v)
+                else:
+                    unknown.append(key)
+            elif parts[1] == "cls":
+                _set(params, ("language", "cls") + _leaf("lin", wb), _val("lin", wb, v))
+            else:
+                unknown.append(key)
+        elif parts[0] == "alignment":
+            if parts[1] in ("w_att", "cls"):
+                _set(params, ("alignment", parts[1]) + _leaf("lin", wb), _val("lin", wb, v))
+            else:
+                unknown.append(key)
+        else:
+            unknown.append(key)
+
+    return {"params": params, "batch_stats": stats, "unknown": unknown}
