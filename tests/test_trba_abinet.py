@@ -161,3 +161,41 @@ def test_abinet_torch_parity():
     variables = {"params": conv["params"], "batch_stats": conv["batch_stats"]}
     jout = np.asarray(jm.apply(variables, jnp.asarray(x)))
     np.testing.assert_allclose(jout, tout, rtol=5e-3, atol=5e-4)
+
+
+def test_crnn_torch_parity():
+    """Random-init torch CRNN → convert → per-frame logits parity."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from torch_ref import install_stubs, reference_available
+
+    if not reference_available():
+        import pytest
+        pytest.skip("reference not mounted")
+    install_stubs()
+    import torch
+    from strhub.models.crnn.model import CRNN as TorchCRNN
+    from udifftext_tpu.models.str_models import CRNN
+    from udifftext_tpu.utils.ckpt_torch import convert_crnn
+
+    torch.manual_seed(0)
+    tm = TorchCRNN(img_h=32, nc=3, nclass=37, nh=32).eval()
+    g = torch.Generator().manual_seed(13)
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    sd = {f"model.{k}": v.detach().numpy() for k, v in tm.state_dict().items()}
+    conv = convert_crnn(sd)
+    assert not conv["unknown"], conv["unknown"][:10]
+
+    jm = CRNN(num_classes=37, hidden=32)
+    rng = np.random.RandomState(5)
+    x = rng.rand(2, 32, 64, 3).astype(np.float32) * 2 - 1
+
+    with torch.no_grad():
+        tout = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    variables = {"params": conv["params"], "batch_stats": conv["batch_stats"]}
+    jout = np.asarray(jm.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(jout, tout, rtol=5e-3, atol=5e-4)

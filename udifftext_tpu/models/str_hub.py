@@ -74,9 +74,11 @@ def create_model(name: str, ckpt_path: Optional[str] = None, **overrides):
 
             conv = convert_abinet(load_torch_state_dict(ckpt_path))
             params = {"params": conv["params"], "batch_stats": conv["batch_stats"]}
+        elif name == "crnn":
+            from ..utils.ckpt_torch import convert_crnn
+
+            conv = convert_crnn(load_torch_state_dict(ckpt_path))
+            params = {"params": conv["params"], "batch_stats": conv["batch_stats"]}
         else:
-            raise NotImplementedError(
-                f"checkpoint conversion for {name} is not wired yet; "
-                "PARSeq is the load-bearing evaluator (SURVEY.md §2b)"
-            )
+            raise KeyError(name)
     return model, params

@@ -6,9 +6,9 @@ Parity targets (src/parseq/strhub/models/):
     class-token position is dropped.
   - CRNN (crnn/model.py): conv feature extractor + 2-layer BiLSTM + CTC.
 
-PARSeq (the load-bearing evaluator) lives in parseq.py; ABINet and TRBA are
-documented as out of the product path (SURVEY.md §2b) — their role (frozen
-STR eval) is fully covered by PARSeq/ViTSTR here.
+PARSeq (the load-bearing evaluator) lives in parseq.py; TRBA and ABINet in
+trba.py / abinet.py. All five hub models have checkpoint converters verified
+by torch forward parity (tests/test_trba_abinet.py, test_parseq_parity.py).
 """
 
 from __future__ import annotations
@@ -72,8 +72,9 @@ class BiLSTM(nn.Module):
 
 
 class CRNN(nn.Module):
-    """CRNN (crnn/model.py): VGG-ish conv stack → 2×BiLSTM → per-frame CTC
-    logits. Input (B, 32, W, C) → (B, W/4 + 1, num_classes)."""
+    """CRNN (crnn/model.py:6-60, clovaai layout): 7-conv stack with BN on
+    convs 2/4/6, asymmetric pools, 2×BiLSTM → per-frame CTC logits.
+    Input (B, 32, W, C) → (B, W/4 + 1, num_classes)."""
 
     num_classes: int = 95
     in_channels: int = 3
@@ -85,28 +86,26 @@ class CRNN(nn.Module):
     def __call__(self, x: Array) -> Array:
         act = (lambda v: nn.leaky_relu(v, 0.2)) if self.leaky_relu else nn.relu
 
-        def conv(v, ch, k, s=1, p=None, name=None):
-            pad = k // 2 if p is None else p
-            return nn.Conv(ch, (k, k), strides=(s, s), padding=((pad, pad), (pad, pad)),
+        def conv(v, i, ch, k=3, p=1, use_bias=True):
+            return nn.Conv(ch, (k, k), padding=((p, p), (p, p)), use_bias=use_bias,
                            dtype=self.dtype, param_dtype=jnp.float32,
-                           precision=matmul_precision(self.dtype), name=name)(v)
+                           precision=matmul_precision(self.dtype), name=f"conv{i}")(v)
 
-        h = act(conv(x, 64, 3, name="conv0"))
+        def bn(v, i):
+            return nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
+                                param_dtype=jnp.float32, name=f"bn{i}")(v)
+
+        h = act(conv(x, 0, 64))
         h = nn.max_pool(h, (2, 2), (2, 2))
-        h = act(conv(h, 128, 3, name="conv1"))
+        h = act(conv(h, 1, 128))
         h = nn.max_pool(h, (2, 2), (2, 2))
-        h = act(conv(h, 256, 3, name="conv2"))
-        h = act(conv(h, 256, 3, name="conv3"))
+        h = act(bn(conv(h, 2, 256, use_bias=False), 2))
+        h = act(conv(h, 3, 256))
         h = nn.max_pool(h, (2, 2), strides=(2, 1), padding=((0, 0), (1, 1)))
-        h = conv(h, 512, 3, name="conv4")
-        h = act(nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
-                             param_dtype=jnp.float32, name="bn4")(h))
-        h = conv(h, 512, 3, name="conv5")
-        h = act(nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
-                             param_dtype=jnp.float32, name="bn5")(h))
+        h = act(bn(conv(h, 4, 512, use_bias=False), 4))
+        h = act(conv(h, 5, 512))
         h = nn.max_pool(h, (2, 2), strides=(2, 1), padding=((0, 0), (1, 1)))
-        h = act(nn.Conv(512, (2, 2), padding="VALID", dtype=self.dtype,
-                        param_dtype=jnp.float32, name="conv6")(h))
+        h = act(bn(conv(h, 6, 512, k=2, p=0, use_bias=False), 6))
         # collapse height (1 after the stack for 32-px input)
         h = jnp.squeeze(h, axis=1) if h.shape[1] == 1 else h.mean(axis=1)
         h = BiLSTM(self.hidden, self.hidden, dtype=self.dtype, name="rnn0")(h)

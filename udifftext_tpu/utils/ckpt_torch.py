@@ -738,3 +738,49 @@ def convert_abinet(sd: Dict[str, np.ndarray], prefix: str = "model.") -> Dict:
             unknown.append(key)
 
     return {"params": params, "batch_stats": stats, "unknown": unknown}
+
+
+def convert_crnn(sd: Dict[str, np.ndarray], prefix: str = "model.") -> Dict:
+    """strhub CRNN checkpoint → models/str_models.py CRNN params."""
+    sd = strip_prefix(sd, prefix) if prefix else dict(sd)
+    params: Dict = {}
+    stats: Dict = {}
+    unknown = []
+    lstms: Dict[Tuple[str, ...], Dict[str, np.ndarray]] = {}
+
+    for key, v in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        parts = key.split(".")
+        wb = parts[-1]
+        if parts[0] == "cnn":
+            name = parts[1]
+            if name.startswith("conv"):
+                _set(params, (name, "kernel" if wb == "weight" else "bias"),
+                     _val("conv", wb, v))
+            elif name.startswith("batchnorm"):
+                _set_bn(params, stats, (f"bn{name[9:]}",), wb, v)
+            else:
+                unknown.append(key)
+        elif parts[0] == "rnn":
+            mod = f"rnn{parts[1]}"
+            if parts[2] == "rnn":
+                lstms.setdefault((mod,), {})[parts[3]] = v
+            elif parts[2] == "linear":
+                _set(params, (mod, "proj", "Dense_0",
+                              "kernel" if wb == "weight" else "bias"),
+                     _val("lin", wb, v))
+            else:
+                unknown.append(key)
+        else:
+            unknown.append(key)
+
+    for base, tensors in lstms.items():
+        _lstm_gates(params, base + ("OptimizedLSTMCell_0",),
+                    tensors["weight_ih_l0"], tensors["weight_hh_l0"],
+                    tensors["bias_ih_l0"], tensors["bias_hh_l0"])
+        _lstm_gates(params, base + ("OptimizedLSTMCell_1",),
+                    tensors["weight_ih_l0_reverse"], tensors["weight_hh_l0_reverse"],
+                    tensors["bias_ih_l0_reverse"], tensors["bias_hh_l0_reverse"])
+
+    return {"params": params, "batch_stats": stats, "unknown": unknown}
