@@ -140,7 +140,10 @@ def build_diffusion_engine(model_cfg: Dict[str, Any], unet_dtype=jnp.bfloat16) -
     p = model_cfg
 
     unet = build_unet(_get(p.get("network_config"), "params", {}) or {}, dtype=unet_dtype)
-    vae = build_vae(_get(p.get("first_stage_config"), "params", {}) or {})
+    # `first_stage_bf16: true` opts into bf16 VAE compute (TPU-recommended,
+    # ~7x faster decode; fp32 default matches disable_first_stage_autocast)
+    vae_dtype = jnp.bfloat16 if p.get("first_stage_bf16", False) else jnp.float32
+    vae = build_vae(_get(p.get("first_stage_config"), "params", {}) or {}, dtype=vae_dtype)
 
     label_params: Dict[str, Any] = {}
     label_ckpt = None
