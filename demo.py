@@ -46,18 +46,26 @@ def build_batch(image: np.ndarray, mask: np.ndarray, text: str, H=512, W=512, se
     }
 
 
+_PREDICTORS = {}
+
+
 def demo_predict(cfgs, bundle, params, batch, steps, scale, seed, aae=False, detailed=False):
-    """reference demo.py:39-116."""
-    samples, aux = bundle.engine.sample(
-        params,
-        {k: jnp.asarray(v) if isinstance(v, np.ndarray) else v for k, v in batch.items()},
-        jax.random.PRNGKey(seed),
-        num_steps=steps,
-        cfg_scale=scale,
-        noise_iters=int(cfgs.get("noise_iters", 10)),
-        aae_enabled=aae,
-        detailed=detailed,
-    )
+    """reference demo.py:39-116 — one compiled pipeline per sampler setting,
+    cached so repeated demo calls reuse the executable."""
+    from udifftext_tpu.predict import JittedPredictor
+
+    key = (id(bundle.engine), int(steps), float(scale), bool(aae), bool(detailed))
+    predictor = _PREDICTORS.get(key)
+    if predictor is None:
+        predictor = _PREDICTORS[key] = JittedPredictor(
+            bundle.engine,
+            num_steps=steps,
+            cfg_scale=scale,
+            noise_iters=int(cfgs.get("noise_iters", 10)),
+            aae_enabled=aae,
+            detailed=detailed,
+        )
+    samples, aux = predictor(params, batch, jax.random.PRNGKey(seed))
     out = (np.asarray(samples)[0] * 255).astype(np.uint8)
     return out, aux
 
@@ -87,6 +95,12 @@ def run_cli(cfgs):
                             args.aae, args.detailed)
     Image.fromarray(out).save(args.out)
     print(f"saved {args.out}")
+    if "local_losses" in aux:
+        from udifftext_tpu.utils.viz import save_intermediates_gif
+
+        losses = np.asarray(aux.pop("local_losses"))
+        print(f"Local losses: {[round(float(l), 4) for l in losses.mean(axis=-1)]}")
+        save_intermediates_gif(list(np.asarray(aux.pop("inters"))), "./temp/inters/demo.gif")
     if args.detailed and aux:
         os.makedirs("./temp/attn_map", exist_ok=True)
         for k, v in aux.items():

@@ -2,12 +2,18 @@
 
 Parity: /root/reference/metrics.py:5-30 — calc_fid / calc_lpips with the same
 call surface. The reference shells out to `pytorch_fid` and uses the `lpips`
-package; neither is installable here, so:
-  - FID: the Frechet statistics/distance math is implemented natively
-    (testable in isolation); the InceptionV3 feature extractor is pluggable —
-    pass `feature_fn`, or rely on pytorch_fid when importable. Without either,
-    the function reports why it cannot run rather than fabricating a score.
-  - LPIPS: gated the same way.
+package; here both run natively on TPU:
+  - FID: flax FIDInceptionV3 (models/inception.py, the pytorch_fid pool3
+    variant) + native Frechet statistics/distance math. The extractor loads
+    pytorch_fid's `pt_inception-2015-12-05` torch weights via
+    utils/ckpt_torch.convert_fid_inception when present at
+    $UDIFFTEXT_FID_WEIGHTS or ./checkpoints/metrics/pt_inception-2015-12-05.pth.
+  - LPIPS: flax LPIPSAlex (models/lpips.py) loading an `lpips.LPIPS(net=
+    'alex')` state-dict dump from $UDIFFTEXT_LPIPS_WEIGHTS or
+    ./checkpoints/metrics/lpips_alex.pth.
+Without weights the functions report why they cannot run rather than
+fabricating a score from random-init features; a `feature_fn`/`distance_fn`
+override is always honored first (used by tests).
 """
 
 from __future__ import annotations
@@ -19,6 +25,68 @@ from typing import Callable, Optional
 
 import numpy as np
 from PIL import Image
+
+FID_WEIGHTS = os.environ.get(
+    "UDIFFTEXT_FID_WEIGHTS", "./checkpoints/metrics/pt_inception-2015-12-05.pth"
+)
+LPIPS_WEIGHTS = os.environ.get(
+    "UDIFFTEXT_LPIPS_WEIGHTS", "./checkpoints/metrics/lpips_alex.pth"
+)
+ALEXNET_WEIGHTS = os.environ.get(
+    "UDIFFTEXT_ALEXNET_WEIGHTS", "./checkpoints/metrics/alexnet.pth"
+)
+
+
+def load_inception_feature_fn(weights_path: str = None):
+    """Jitted (N, H, W, 3) [0,1] → (N, 2048) pool3 features, or None if the
+    torch weights are absent."""
+    import jax
+    import jax.numpy as jnp
+
+    from udifftext_tpu.models.inception import FIDInceptionV3
+    from udifftext_tpu.utils import ckpt_torch as CT
+
+    path = weights_path or FID_WEIGHTS
+    if not os.path.exists(path):
+        return None
+    model = FIDInceptionV3()
+    conv = CT.convert_fid_inception(CT.load_torch_state_dict(path))
+    params = {"params": jax.tree.map(jnp.asarray, conv["params"])}
+    fn = jax.jit(lambda x: model.apply(params, x))
+    return lambda x: np.asarray(fn(jnp.asarray(x, jnp.float32)))
+
+
+def load_lpips_distance_fn(weights_path: str = None, alexnet_path: str = None):
+    """Jitted pairwise LPIPS on (H, W, 3) [0,1] images, or None if weights
+    are absent."""
+    import jax
+    import jax.numpy as jnp
+
+    from udifftext_tpu.models.lpips import LPIPSAlex
+    from udifftext_tpu.utils import ckpt_torch as CT
+
+    path = weights_path or LPIPS_WEIGHTS
+    if not os.path.exists(path):
+        return None
+    sd = CT.load_torch_state_dict(path)
+    alex_sd = None
+    if not any(k.startswith("net.") for k in sd):
+        apath = alexnet_path or ALEXNET_WEIGHTS
+        if not os.path.exists(apath):
+            print(f"LPIPS: {path} has only lin weights and {apath} is absent")
+            return None
+        alex_sd = CT.load_torch_state_dict(apath)
+    model = LPIPSAlex()
+    conv = CT.convert_lpips_alex(sd, alex_sd)
+    params = {"params": jax.tree.map(jnp.asarray, conv["params"])}
+    fn = jax.jit(lambda a, b: model.apply(params, a, b))
+
+    def distance(a: np.ndarray, b: np.ndarray) -> float:
+        aa = jnp.asarray(a, jnp.float32)[None] * 2.0 - 1.0
+        bb = jnp.asarray(b, jnp.float32)[None] * 2.0 - 1.0
+        return float(fn(aa, bb)[0])
+
+    return distance
 
 
 def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
@@ -58,22 +126,14 @@ def calc_fid(
     print(f"evaluating FID score between '{fake_dir}' and '{real_dir}'")
 
     if feature_fn is None:
-        try:
-            import subprocess
-            import sys
-
-            subprocess.run(
-                [sys.executable, "-m", "pytorch_fid", fake_dir, real_dir,
-                 "--batch-size", str(batch_size)],
-                check=True,
-            )
-            return None
-        except Exception:
-            print(
-                "FID skipped: no feature extractor available "
-                "(pytorch_fid not installed and no feature_fn provided)"
-            )
-            return None
+        feature_fn = load_inception_feature_fn()
+    if feature_fn is None:
+        print(
+            "FID skipped: no feature extractor available — place pytorch_fid's "
+            f"pt_inception-2015-12-05.pth at {FID_WEIGHTS} (or set "
+            "UDIFFTEXT_FID_WEIGHTS), or pass feature_fn"
+        )
+        return None
 
     def features_of(d):
         feats = []
@@ -106,22 +166,14 @@ def calc_lpips(
     """Pairwise perceptual distance (reference metrics.py:12-30)."""
     print(f"evaluating LPIPS score between '{fake_dir}' and '{real_dir}'")
     if distance_fn is None:
-        try:
-            import lpips  # noqa: F401
-        except ImportError:
-            print("LPIPS skipped: lpips package not installed and no distance_fn provided")
-            return None
-
-        import lpips
-        import torch
-
-        loss_fn = lpips.LPIPS(net="alex")
-        distance_fn = lambda a, b: float(
-            loss_fn.forward(
-                torch.from_numpy(a.transpose(2, 0, 1))[None] * 2 - 1,
-                torch.from_numpy(b.transpose(2, 0, 1))[None] * 2 - 1,
-            )
+        distance_fn = load_lpips_distance_fn()
+    if distance_fn is None:
+        print(
+            "LPIPS skipped: no distance function available — place an "
+            f"lpips.LPIPS(net='alex') state-dict dump at {LPIPS_WEIGHTS} (or "
+            "set UDIFFTEXT_LPIPS_WEIGHTS), or pass distance_fn"
         )
+        return None
 
     fake_paths = _load_images(fake_dir)
     real_paths = _load_images(real_dir)

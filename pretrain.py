@@ -55,6 +55,41 @@ def build_models(cfgs):
     return model, visual, mp, vis
 
 
+def make_pretrain_step(model, visual, vparams, opt, lam_cls, lam_pos, mesh=None):
+    """Jitted pretrain step, data-parallel over the mesh's `data` axis
+    (reference pretrain.py:35-39 rides Lightning DDP the same way). The
+    contrastive similarity matrix is batch-global, so the batch is sharded
+    and XLA inserts the feature all-gather for the logit matmul."""
+
+    def step(state, images, ids):
+        visual_emb = visual.apply(vparams, images)  # frozen
+
+        def loss_fn(p):
+            out = model.apply(p, ids, visual_emb)
+            loss, ld = clip_contrastive_loss(
+                out["text_out"], out["visual_out"], out["logit_scale"],
+                out["cls_out"], out["pos_out"], ids, lam_cls, lam_pos,
+            )
+            return loss, ld
+
+        (loss, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=new_params, opt_state=opt_state), loss, ld
+
+    if mesh is None:
+        return jax.jit(step)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step,
+        in_shardings=(repl, data, data),
+        out_shardings=(repl, repl, repl),
+    )
+
+
 def train(cfgs):
     model, visual, mp, vis = build_models(cfgs)
     dparams = cfgs["dataset"]["params"]
@@ -95,23 +130,8 @@ def train(cfgs):
 
     lam_cls = float(mp.get("lambda_cls", 0.1))
     lam_pos = float(mp.get("lambda_pos", 0.1))
-
-    @jax.jit
-    def step(state, images, ids):
-        visual_emb = visual.apply(vparams, images)  # frozen
-
-        def loss_fn(p):
-            out = model.apply(p, ids, visual_emb)
-            loss, ld = clip_contrastive_loss(
-                out["text_out"], out["visual_out"], out["logit_scale"],
-                out["cls_out"], out["pos_out"], ids, lam_cls, lam_pos,
-            )
-            return loss, ld
-
-        (loss, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return state.replace(step=state.step + 1, params=new_params, opt_state=opt_state), loss, ld
+    step = make_pretrain_step(model, visual, vparams, opt, lam_cls, lam_pos,
+                              mesh=make_mesh())
 
     ckpt_dir = str(cfgs.get("ckpt_dir", "./checkpoints/encoders/LabelEncoder"))
     max_epochs = int(cfgs.get("lightning", {}).get("max_epochs", 1000))

@@ -22,6 +22,7 @@ from udifftext_tpu.data import get_dataloader
 from udifftext_tpu.loading import init_engine_params  # noqa: F401 (config surface)
 from udifftext_tpu.models.parseq import PARSeq
 from udifftext_tpu.ocr import ParseqPredictor
+from udifftext_tpu.predict import JittedPredictor
 from udifftext_tpu.utils.ckpt_torch import load_torch_state_dict, convert_parseq
 from util import init_model, init_sampling, numpy_batch_to_device, prepare_batch
 
@@ -40,19 +41,24 @@ def load_predictor(cfgs):
     return predictor, params
 
 
-def predict(cfgs, bundle, params, sampler, batch, rng):
-    """reference test.py:19-40."""
-    batch, _batch_uc = prepare_batch(cfgs, batch)
-    samples, aux = bundle.engine.sample(
-        params,
-        batch,
-        rng,
+def make_predictor(cfgs, bundle, sampler) -> JittedPredictor:
+    """One compiled pipeline (conditioner → noise search → sampler scan →
+    decode) reused across batches — reference test.py:19-40 as a single
+    XLA program."""
+    return JittedPredictor(
+        bundle.engine,
         num_steps=sampler.num_steps,
         cfg_scale=sampler.cfg_scale,
         noise_iters=int(cfgs.get("noise_iters", 10)),
         aae_enabled=bool(cfgs.get("aae_enabled", False)),
         detailed=bool(cfgs.get("detailed", False)),
     )
+
+
+def predict(cfgs, predictor, params, batch, rng):
+    """reference test.py:19-40."""
+    batch, _batch_uc = prepare_batch(cfgs, batch)
+    samples, aux = predictor(params, batch, rng)
     return np.asarray(samples), aux
 
 
@@ -71,13 +77,24 @@ def test(bundle, params, sampler, dataloader, cfgs):
         ocr_enabled = pred_params is not None
     correct_num = total_num = 0
 
+    predictor = make_predictor(cfgs, bundle, sampler)
     rng = jax.random.PRNGKey(random.randint(0, 2**31 - 1))
     for idx, batch in enumerate(dataloader):
         if idx >= int(cfgs.get("max_iter", 100)):
             break
         name = batch["name"][0]
         rng, sub = jax.random.split(rng)
-        results, aux = predict(cfgs, bundle, params, sampler, batch, sub)  # (B,H,W,3) [0,1]
+        results, aux = predict(cfgs, predictor, params, batch, sub)  # (B,H,W,3) [0,1]
+
+        if "local_losses" in aux:
+            # per-step min-local losses + decoded-intermediate GIF
+            # (reference sampling.py:410-418)
+            from udifftext_tpu.utils.viz import save_intermediates_gif
+
+            losses = np.asarray(aux.pop("local_losses"))
+            print(f"Local losses: {[round(float(l), 4) for l in losses.mean(axis=-1)]}")
+            frames = list(np.asarray(aux.pop("inters")))
+            save_intermediates_gif(frames, ospj(temp_dir, "inters", f"{name}.gif"))
 
         if cfgs.get("detailed") and aux:
             # middle-step attention heatmaps + seg maps (reference
@@ -86,7 +103,10 @@ def test(bundle, params, sampler, dataloader, cfgs):
                 average_attn_maps, save_attn_map_grid, save_segment_map,
             )
 
-            maps = average_attn_maps({k: np.asarray(v) for k, v in aux.items()})
+            maps = average_attn_maps(
+                {k: np.asarray(v) for k, v in aux.items()},
+                layers=bundle.save_attn_layers or None,
+            )
             tokens = batch["label"][0]
             save_attn_map_grid(maps, tokens, ospj(temp_dir, "attn_map", f"attn_map_{name}.png"))
             save_segment_map(maps, tokens, ospj(temp_dir, "seg_map", f"seg_{name}.npy"))

@@ -169,6 +169,82 @@ def test_test_py_flow(workspace):
     assert (out / "real" / "0.png").exists()
 
 
+def test_general_conditioner_vector_embedder(workspace):
+    """A modified model graph adding a ClassEmbedder (vector key) materializes
+    through the generic embedder-list path (GeneralConditioner parity,
+    modules.py:105-217) and trains one step."""
+    import yaml
+    import jax
+    import numpy as np
+
+    from udifftext_tpu.config import ConfigNode
+    from udifftext_tpu.data import get_dataloader
+    from udifftext_tpu.parallel.mesh import make_mesh
+    from udifftext_tpu.parallel.train import TrainState, make_optimizer, make_train_step
+    from util import init_model, numpy_batch_to_device
+    import train as train_script
+
+    graph = yaml.safe_load(TINY_MODEL_YAML)
+    net = graph["model"]["params"]["network_config"]["params"]
+    net["use_label"] = 1
+    net["adm_in_channels"] = 16
+    graph["model"]["params"]["conditioner_config"]["params"]["emb_models"].append({
+        "is_trainable": True,
+        "ucg_rate": 0.1,
+        "input_key": "cls",
+        "target": "sgm.modules.encoders.modules.ClassEmbedder",
+        "params": {"embed_dim": 16, "n_classes": 10},
+    })
+    path = workspace / "model_vector.yaml"
+    path.write_text(yaml.safe_dump(graph))
+
+    cfgs = ConfigNode.wrap({
+        "model_cfg_path": str(path),
+        "dataset_cfg_path": str(workspace / "dataset.yaml"),
+        "load_ckpt_path": None,
+        "batch_size": 1,
+        "shuffle": False,
+        "bf16": False,
+    })
+    bundle, params = init_model(cfgs, image_size=32)
+    engine = bundle.engine
+    gc = engine.general_conditioner
+    assert gc is not None
+    assert "embedders" in params and gc.trainable_embedders == ("3_ClassEmbedder",)
+
+    loader = get_dataloader(cfgs, "train")
+    batch = next(iter(loader))
+    b, h, w, _ = batch["image"].shape
+    batch["seg"] = np.zeros((b, h, w, 12), np.float32)
+    batch["cls"] = np.zeros((b,), np.int32)
+
+    # the conditioner routes the 2-d embedding to the vector key
+    cond = gc(
+        params,
+        numpy_batch_to_device({k: v for k, v in batch.items()
+                               if isinstance(v, np.ndarray)}),
+        rng=jax.random.PRNGKey(0),
+    )
+    assert cond["vector"].shape == (b, 16)
+    assert "t_crossattn" in cond and "concat" in cond
+
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    opt = make_optimizer(
+        params, base_lr=1e-2, opt_keys=bundle.opt_keys, steps_per_epoch=1,
+        trainable_embedders=gc.trainable_embedders,
+    )
+    step = make_train_step(engine.loss, opt, accum_steps=1, mesh=mesh, donate=False)
+    state = TrainState.create(params, opt)
+    keys = train_script.BATCH_KEYS + ("cls",)
+    stacked = {k: batch[k] for k in keys if k in batch}
+    state2, loss, _ = step(state, numpy_batch_to_device(stacked), jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    # the is_trainable embedder's params received an update
+    before = jax.tree.leaves(params["embedders"])[0]
+    after = jax.tree.leaves(state2.params["embedders"])[0]
+    assert float(np.max(np.abs(np.asarray(after) - np.asarray(before)))) > 0
+
+
 def test_train_py_flow(workspace):
     """One optimizer step through the actual train.py helpers."""
     import jax

@@ -113,6 +113,29 @@ def test_sample_aae_detailed(engine_and_params):
     assert any(k.endswith("t_attn") for k in aux)
     for k, v in aux.items():
         assert np.all(np.isfinite(np.asarray(v)))
+    # per-step observability (sampling.py:336-345,410-418): one decoded
+    # intermediate per step + per-step min-local loss of the conditional half
+    assert aux["inters"].shape == (3, IMG, IMG, 3)
+    assert float(jnp.min(aux["inters"])) >= 0.0
+    assert float(jnp.max(aux["inters"])) <= 1.0
+    assert aux["local_losses"].shape == (3, 1)
+
+
+def test_jitted_predictor_single_compile(engine_and_params):
+    """The whole predict pipeline compiles exactly once for a fixed shape
+    signature and is reused across batches (VERDICT r1 item 3)."""
+    from udifftext_tpu.predict import JittedPredictor
+
+    eng, params = engine_and_params
+    pred = JittedPredictor(eng, num_steps=2, cfg_scale=5.0, noise_iters=1)
+    batch = _batch(2)
+    batch["label"] = ["ab", "ab"]  # host-side field must be stripped
+    img1, _ = pred(params, batch, jax.random.PRNGKey(0))
+    img2, _ = pred(params, batch, jax.random.PRNGKey(1))
+    assert pred.n_compiles == 1
+    assert img1.shape == (2, IMG, IMG, 3)
+    # different rng → different samples through the same executable
+    assert float(jnp.max(jnp.abs(img1 - img2))) > 0
 
 
 def test_unet_ctrl_block_and_label_paths():

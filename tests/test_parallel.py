@@ -52,7 +52,8 @@ def _tiny_setup():
         h = h * p["unet"]["blocks_0"]["t_norm"]["scale"]
         h = h @ p["unet"]["blocks_0"]["attn1"]["to_q"]["kernel"]
         h = h @ p["vae"]["conv"]["kernel"]
-        return jnp.mean((h - batch["y"]) ** 2), {}
+        l = jnp.mean((h - batch["y"]) ** 2)
+        return l, {"loss/diff_loss": l, "loss/full_loss": l}
 
     return params, loss_fn
 
@@ -80,10 +81,15 @@ def test_data_parallel_masked_step_with_accum():
         "y": jnp.zeros((16, 4)),
     }
     with mesh:
-        state2, loss, _ = step(state, batch, rng)
+        state2, loss, aux = step(state, batch, rng)
         state3, loss2, _ = step(state2, batch, rng)
 
     assert np.isfinite(float(loss)) and np.isfinite(float(loss2))
+    # the loss-component dict survives the accumulation scan
+    # (reference logs every component per step, diffusion.py:151-171)
+    assert set(aux) == {"loss/diff_loss", "loss/full_loss"}
+    assert aux["loss/diff_loss"].shape == ()
+    np.testing.assert_allclose(float(aux["loss/full_loss"]), float(loss), rtol=1e-5)
     # masked params moved
     before = params["unet"]["blocks_0"]["t_attn"]["to_q"]["kernel"]
     after = state3.params["unet"]["blocks_0"]["t_attn"]["to_q"]["kernel"]
@@ -98,6 +104,43 @@ def test_data_parallel_masked_step_with_accum():
         np.asarray(params["unet"]["blocks_0"]["attn1"]["to_q"]["kernel"]),
     )
     assert int(state3.step) == 2
+
+
+def test_pretrain_step_data_parallel():
+    """pretrain.py's step runs sharded on the 8-CPU mesh (reference
+    pretrain.py:35-39 rides Lightning DDP; here the batch-global contrastive
+    matrix forces XLA to all-gather features across the data axis)."""
+    import optax
+
+    from pretrain import make_pretrain_step
+    from udifftext_tpu.models.label_encoder import LabelEncoderPretrain
+    from udifftext_tpu.models.vit import ViTSTREncoder
+
+    model = LabelEncoderPretrain(
+        max_len=4, emb_dim=16, n_heads=2, n_trans_layers=1,
+        visual_len=5, visual_dim=8,
+    )
+    visual = ViTSTREncoder(size=16, patch_size=8, embed_dim=8, depth=1,
+                           num_heads=2, in_chans=1)
+    rng = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(rng)
+    params = model.init(
+        k1, jnp.zeros((1, 4), jnp.int32), jnp.zeros((1, 5, 8))
+    )
+    vparams = visual.init(k2, jnp.zeros((1, 16, 16, 1)))
+
+    mesh = make_mesh(n_data=8, devices=_cpu_devices()[:8])
+    opt = optax.adamw(1e-4)
+    step = make_pretrain_step(model, visual, vparams, opt, 0.1, 0.1, mesh=mesh)
+    state = TrainState.create(params, opt)
+
+    images = jnp.asarray(np.random.RandomState(0).randn(8, 16, 16, 1), jnp.float32)
+    ids = jnp.asarray(np.random.RandomState(1).randint(1, 90, (8, 4)), jnp.int32)
+    with mesh:
+        state2, loss, ld = step(state, images, ids)
+    assert np.isfinite(float(loss))
+    assert int(state2.step) == 1
+    assert "loss/clip_loss" in ld
 
 
 def test_lr_epoch_decay():

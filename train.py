@@ -22,6 +22,7 @@ from udifftext_tpu.data import get_dataloader
 from udifftext_tpu.parallel.mesh import make_mesh
 from udifftext_tpu.parallel.train import TrainState, make_optimizer, make_train_step
 from udifftext_tpu.utils.ckpt_orbax import latest_checkpoint, restore_checkpoint, save_checkpoint
+from udifftext_tpu.utils.logger import MetricsLogger
 from udifftext_tpu.utils.profiling import SimpleProfiler
 from util import init_model, numpy_batch_to_device
 
@@ -40,6 +41,22 @@ BATCH_KEYS = (
 )
 
 
+def save_image_logs(engine, params, batch, rng, img_dir, step, n=4, num_steps=20):
+    """Training-time image observability (reference ImageLogger callback over
+    diffusion.py:280-335): inputs / reconstructions / fresh samples as PNGs."""
+    from PIL import Image
+
+    logs = engine.log_images(params, batch, rng, n=n, num_steps=num_steps)
+    os.makedirs(img_dir, exist_ok=True)
+    for key, imgs in logs.items():
+        arr = np.asarray(imgs, np.float32)
+        arr = np.clip((arr + 1.0) / 2.0, 0.0, 1.0)
+        row = np.concatenate(list(arr), axis=1)  # side-by-side grid
+        Image.fromarray((row * 255).astype(np.uint8)).save(
+            os.path.join(img_dir, f"step{step:07d}_{key}.png")
+        )
+
+
 def train(cfgs):
     maybe_init_distributed()
     profiler = SimpleProfiler()
@@ -50,16 +67,26 @@ def train(cfgs):
     bundle, params = init_model(cfgs, seed=seed)
     engine = bundle.engine
 
-    mesh = make_mesh()
     accum = int(cfgs.get("lightning", {}).get("accumulate_grad_batches", 1))
+    # data axis must evenly shard each microbatch; degenerate batches fall
+    # back to fewer devices instead of a divisibility error
+    micro_b = int(cfgs.get("batch_size", 1))
+    n_dev = len(jax.devices())
+    n_data = max(d for d in range(1, n_dev + 1) if micro_b % d == 0)
+    if n_data < n_dev:
+        print(f"[mesh] batch_size {micro_b} not divisible by {n_dev} devices — "
+              f"using {n_data}-way data parallelism")
+    mesh = make_mesh(n_data=n_data, devices=jax.devices()[:n_data])
     max_epochs = int(cfgs.get("lightning", {}).get("max_epochs", 100))
     steps_per_epoch = max(len(dataloader) // max(accum, 1), 1)
 
+    gc = engine.general_conditioner
     optimizer = make_optimizer(
         params,
         base_lr=float(cfgs.get("base_learning_rate", 5e-5)),
         opt_keys=bundle.opt_keys,
         steps_per_epoch=steps_per_epoch,
+        trainable_embedders=gc.trainable_embedders if gc is not None else (),
     )
     use_ema = bool(cfgs.get("use_ema", False))
     step_fn = make_train_step(
@@ -68,10 +95,16 @@ def train(cfgs):
     state = TrainState.create(params, optimizer, use_ema=use_ema)
 
     ckpt_dir = os.path.join(str(cfgs.get("save_ckpt_dir", "./checkpoints")), "udifftext_tpu")
+    logger = MetricsLogger(str(cfgs.get("log_dir", "./logs")))
     resume = latest_checkpoint(ckpt_dir)
     if resume:
         print(f"resuming from {resume}")
         state = restore_checkpoint(resume, jax.eval_shape(lambda: state))
+
+    # generic embedder graphs may consume extra array batch keys (e.g. a
+    # ClassEmbedder's class ids)
+    extra_keys = tuple(e.input_key for e in gc.embedders) if gc is not None else ()
+    batch_keys = tuple(dict.fromkeys(BATCH_KEYS + extra_keys))
 
     rng = jax.random.PRNGKey(seed)
     global_step = int(state.step)
@@ -85,7 +118,7 @@ def train(cfgs):
                     continue
                 stacked = {
                     k: np.concatenate([mb[k] for mb in micro_accum], axis=0)
-                    for k in BATCH_KEYS
+                    for k in batch_keys
                     if k in micro_accum[0]
                 }
                 micro_accum = []
@@ -97,11 +130,26 @@ def train(cfgs):
                 global_step += 1
                 if global_step % 10 == 0:
                     dt = time.time() - t0
+                    # every loss component, like the reference's per-step
+                    # log_dict (diffusion.py:151-171)
+                    comps = {k: float(v) for k, v in sorted(aux.items())}
+                    logger.log(global_step, {"loss": float(loss), **comps}, epoch=epoch)
+                    comp_str = " ".join(
+                        f"{k.split('/')[-1]} {v:.4f}" for k, v in comps.items()
+                    )
                     print(
                         f"epoch {epoch} step {global_step} "
-                        f"loss {float(loss):.4f} ({dt / 10:.2f}s/step)"
+                        f"loss {float(loss):.4f} {comp_str} ({dt / 10:.2f}s/step)"
                     )
                     t0 = time.time()
+                img_freq = int(cfgs.get("log_images_freq", 0))
+                if img_freq and global_step % img_freq == 0:
+                    save_image_logs(
+                        engine, state.params, dev_batch, sub,
+                        os.path.join(str(cfgs.get("log_dir", "./logs")), "images"),
+                        global_step,
+                        num_steps=int(cfgs.get("log_images_steps", 20)),
+                    )
             if (epoch + 1) % int(cfgs.get("save_ckpt_freq", 1)) == 0:
                 with profiler.profile("checkpoint"):
                     path = save_checkpoint(ckpt_dir, state, global_step)

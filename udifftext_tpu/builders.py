@@ -117,6 +117,122 @@ def build_label_encoder(params: Dict[str, Any], dtype=jnp.float32) -> LabelEncod
     )
 
 
+def _is_shipped_graph(emb_models) -> bool:
+    """True when emb_models is exactly the shipped 3-embedder graph
+    (LabelEncoder + SpatialRescaler + LatentEncoder) — served by the
+    specialized fused Conditioner fast path."""
+    targets = sorted(e.get("target", "").rsplit(".", 1)[-1] for e in emb_models)
+    return targets == ["LabelEncoder", "LatentEncoder", "SpatialRescaler"]
+
+
+def build_general_conditioner(
+    emb_models, label_encoder: LabelEncoder, vae: AutoencoderKL,
+    scale_factor: float = 0.18215,
+):
+    """Materialize an arbitrary embedder-list config (GeneralConditioner,
+    modules.py:105-217): each YAML entry becomes an EmbedderSpec with
+    dim→key routing, per-embedder ucg_rate / emb_key / is_trainable."""
+    from .conditioning import EmbedderSpec, GeneralConditioner, spatial_rescale
+    from .models.vae import DiagonalGaussian
+
+    specs = []
+    for n, emb in enumerate(emb_models):
+        target = emb.get("target", "").rsplit(".", 1)[-1]
+        p = emb.get("params", {}) or {}
+        ucg = float(emb.get("ucg_rate", 0.0))
+        emb_key = emb.get("emb_key")
+        trainable = bool(emb.get("is_trainable", False))
+        input_key = emb.get("input_key", "")
+        name = f"{n}_{target}"
+
+        if target == "LabelEncoder":
+            # YAML input_key is the raw string "label"; the batch carries the
+            # host-tokenized "label_ids"
+            key = "label_ids" if input_key in ("label", "label_ids", "") else input_key
+
+            def apply_le(params, batch, rng, _k=key):
+                return label_encoder.apply(params["label_encoder"], batch[_k])
+
+            specs.append(EmbedderSpec(name, apply_le, key, ucg,
+                                      emb_key or "t_crossattn", trainable))
+        elif target == "SpatialRescaler":
+            mult = float(p.get("multiplier", 0.5))
+            if p.get("out_channels"):
+                from .embedders import SpatialRescalerRemap
+
+                mod = SpatialRescalerRemap(
+                    multiplier=mult, out_channels=int(p["out_channels"]),
+                    method=p.get("method", "bilinear"),
+                    n_stages=int(p.get("n_stages", 1)),
+                )
+                in_ch = int(p.get("in_channels", 1))
+
+                def apply_sr(params, batch, rng, _n=name, _k=input_key or "mask"):
+                    return mod.apply(params["embedders"][_n], batch[_k])
+
+                def init_sr(rng, _mod=mod, _c=in_ch):
+                    return _mod.init(rng, jnp.zeros((1, 16, 16, _c)))
+
+                specs.append(EmbedderSpec(name, apply_sr, input_key or "mask",
+                                          ucg, emb_key, trainable, init_sr))
+            else:
+
+                def apply_sr(params, batch, rng, _m=mult, _k=input_key or "mask"):
+                    return spatial_rescale(batch[_k], _m)
+
+                specs.append(EmbedderSpec(name, apply_sr, input_key or "mask",
+                                          ucg, emb_key or "concat", trainable))
+        elif target == "LatentEncoder":
+            key = input_key or "masked"
+
+            def apply_lat(params, batch, rng, _k=key):
+                moments = vae.apply(
+                    params["vae"], batch[_k], method=AutoencoderKL.encode_moments
+                )
+                post = DiagonalGaussian(moments)
+                z = post.sample(rng) if rng is not None else post.mode()
+                return scale_factor * z
+
+            specs.append(EmbedderSpec(name, apply_lat, key, ucg,
+                                      emb_key or "concat", trainable))
+        elif target == "ClassEmbedder":
+            from .embedders import ClassEmbedder
+
+            mod = ClassEmbedder(
+                embed_dim=int(p.get("embed_dim", 512)),
+                n_classes=int(p.get("n_classes", 1000)),
+                add_sequence_dim=bool(p.get("add_sequence_dim", False)),
+                ucg_rate=0.0,  # ucg applied uniformly by the conditioner
+            )
+            key = input_key or "cls"
+
+            def apply_cls(params, batch, rng, _n=name, _k=key, _m=mod):
+                return _m.apply(params["embedders"][_n], batch[_k])
+
+            def init_cls(rng, _m=mod):
+                return _m.init(rng, jnp.zeros((1,), jnp.int32))
+
+            specs.append(EmbedderSpec(name, apply_cls, key, ucg, emb_key,
+                                      trainable, init_cls))
+        elif target == "ConcatTimestepEmbedderND":
+            from .embedders import concat_timestep_embedder_nd
+
+            outdim = int(p.get("outdim", 256))
+            key = input_key
+
+            def apply_ts(params, batch, rng, _k=key, _d=outdim):
+                return concat_timestep_embedder_nd(batch[_k], _d)
+
+            specs.append(EmbedderSpec(name, apply_ts, key, ucg, emb_key, trainable))
+        else:
+            raise ValueError(
+                f"unsupported embedder target {emb.get('target')!r} "
+                "(supported: LabelEncoder, SpatialRescaler, LatentEncoder, "
+                "ClassEmbedder, ConcatTimestepEmbedderND)"
+            )
+    return GeneralConditioner(tuple(specs))
+
+
 @dataclasses.dataclass(frozen=True)
 class SamplerSettings:
     num_steps: int = 50
@@ -133,6 +249,9 @@ class EngineBundle:
     sampler: SamplerSettings
     opt_keys: Tuple[str, ...] = ("t_attn", "t_norm")
     ckpt_paths: Dict[str, Optional[str]] = dataclasses.field(default_factory=dict)
+    # save_attn_layers (textdesign_sd_2.yaml:31): which UNet attention layers
+    # the detailed viz averages (openaimodel.py:563-566)
+    save_attn_layers: Tuple[str, ...] = ()
 
 
 def build_diffusion_engine(model_cfg: Dict[str, Any], unet_dtype=jnp.bfloat16) -> EngineBundle:
@@ -159,6 +278,14 @@ def build_diffusion_engine(model_cfg: Dict[str, Any], unet_dtype=jnp.bfloat16) -
             mask_multiplier = (emb.get("params", {}) or {}).get("multiplier", 0.125)
     label_encoder = build_label_encoder(label_params)
     latent_factor = 2 ** (len(vae.cfg.ch_mult) - 1)
+
+    emb_models = _get(p.get("conditioner_config"), "params", {}).get("emb_models", [])
+    general_conditioner = None
+    if emb_models and not _is_shipped_graph(emb_models):
+        general_conditioner = build_general_conditioner(
+            emb_models, label_encoder, vae,
+            scale_factor=p.get("scale_factor", 0.18215),
+        )
 
     denoiser = build_discrete_denoiser(**(_get(p.get("denoiser_config"), "params", {}) or {}))
 
@@ -204,11 +331,14 @@ def build_diffusion_engine(model_cfg: Dict[str, Any], unet_dtype=jnp.bfloat16) -
         mask_multiplier=mask_multiplier,
         latent_factor=latent_factor,
         ocr_predictor=ocr_predictor,
+        general_conditioner=general_conditioner,
     )
+    net_p = _get(p.get("network_config"), "params", {}) or {}
     return EngineBundle(
         engine=engine,
         sampler=sampler,
         opt_keys=tuple(p.get("opt_keys", ("t_attn", "t_norm"))),
+        save_attn_layers=tuple(net_p.get("save_attn_layers", ()) or ()),
         ckpt_paths={
             "model": None,
             "vae": vae_ckpt,

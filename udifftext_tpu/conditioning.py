@@ -22,7 +22,7 @@ masked (B,512,512,3); label_ids (B,12) int32 (host-tokenized via charset).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +31,11 @@ from .models.label_encoder import LabelEncoder
 from .models.vae import AutoencoderKL, DiagonalGaussian
 
 Array = jax.Array
+
+# dim → conditioning key routing (reference modules.py:107); 3-d embedders in
+# this fork set emb_key explicitly (t_crossattn / v_crossattn), exactly like
+# the reference YAMLs do
+OUTPUT_DIM2KEYS = {2: "vector", 3: "crossattn", 4: "concat", 5: "concat"}
 
 
 def spatial_rescale(x: Array, multiplier: float = 0.125, method: str = "bilinear") -> Array:
@@ -112,3 +117,100 @@ class Conditioner:
             force_zero_label=force_uc_zero_label,
         )
         return c, uc
+
+
+# ---------------------------------------------------------------------------
+# Generic embedder-list conditioner (reference GeneralConditioner,
+# modules.py:105-217): arbitrary embedder graphs from YAML with dim→key
+# routing, per-embedder UCG, and forced-unconditional zeroing. The shipped
+# 3-embedder graph uses the specialized `Conditioner` above (fused fast path);
+# builders fall back to this one whenever the config adds/changes embedders.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class EmbedderSpec:
+    """One entry of the conditioner's embedder list.
+
+    apply_fn(params, batch, rng) -> Array | tuple[Array, ...]; `params` is the
+    full engine params dict — parameterized embedders pull their collection
+    (e.g. params["embedders"][name]), parameterless ones ignore it.
+    """
+
+    name: str
+    apply_fn: Callable[[Dict[str, Any], Dict[str, Array], Optional[jax.Array]], Any]
+    input_key: str
+    ucg_rate: float = 0.0
+    emb_key: Optional[str] = None
+    is_trainable: bool = False
+    init_fn: Optional[Callable[[jax.Array], Any]] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class GeneralConditioner:
+    embedders: Tuple[EmbedderSpec, ...]
+
+    def __call__(
+        self,
+        params: Dict[str, Any],
+        batch: Dict[str, Array],
+        rng: Optional[jax.Array] = None,
+        train: bool = False,
+        force_zero_keys: Tuple[str, ...] = (),
+    ) -> Dict[str, Array]:
+        out: Dict[str, Array] = {}
+        keys = (
+            jax.random.split(rng, 2 * len(self.embedders))
+            if rng is not None
+            else [None] * (2 * len(self.embedders))
+        )
+        for i, e in enumerate(self.embedders):
+            rng_apply, rng_ucg = keys[2 * i], keys[2 * i + 1]
+            emb_out = e.apply_fn(params, batch, rng_apply)
+            if not isinstance(emb_out, (tuple, list)):
+                emb_out = (emb_out,)
+            for emb in emb_out:
+                out_key = e.emb_key or OUTPUT_DIM2KEYS[emb.ndim]
+                if train and e.ucg_rate > 0.0 and rng_ucg is not None:
+                    keep = jax.random.bernoulli(
+                        rng_ucg, 1.0 - e.ucg_rate, (emb.shape[0],)
+                    ).astype(emb.dtype)
+                    emb = emb * keep.reshape((-1,) + (1,) * (emb.ndim - 1))
+                if e.input_key in force_zero_keys:
+                    emb = jnp.zeros_like(emb)
+                # KEY2CATDIM (modules.py:108): vector dim1 / crossattn dim2 /
+                # concat dim1(NCHW) — all the feature axis, i.e. -1 in NHWC
+                out[out_key] = (
+                    emb if out_key not in out
+                    else jnp.concatenate([out[out_key], emb], axis=-1)
+                )
+        return out
+
+    def get_unconditional_conditioning(
+        self,
+        params: Dict[str, Any],
+        batch: Dict[str, Array],
+        batch_uc: Optional[Dict[str, Array]] = None,
+        rng: Optional[jax.Array] = None,
+        force_uc_zero_keys: Tuple[str, ...] = ("label_ids",),
+    ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+        """(c, uc) with UCG suppressed (train=False), reference :203-217."""
+        c = self(params, batch, rng=rng, train=False)
+        uc = self(
+            params, batch if batch_uc is None else batch_uc,
+            rng=rng, train=False, force_zero_keys=force_uc_zero_keys,
+        )
+        return c, uc
+
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
+        """Init the parameterized extra embedders → params["embedders"]."""
+        out = {}
+        for e in self.embedders:
+            if e.init_fn is not None:
+                rng, sub = jax.random.split(rng)
+                out[e.name] = e.init_fn(sub)
+        return out
+
+    @property
+    def trainable_embedders(self) -> Tuple[str, ...]:
+        return tuple(e.name for e in self.embedders if e.is_trainable)

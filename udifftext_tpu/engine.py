@@ -47,6 +47,9 @@ class DiffusionEngine:
     mask_multiplier: float = 0.125
     latent_factor: int = 8
     ocr_predictor: Optional[Any] = None  # ParseqPredictor when ocr_enabled
+    # set for non-shipped embedder graphs (GeneralConditioner parity,
+    # modules.py:105-217); None → the specialized fused Conditioner below
+    general_conditioner: Optional[Any] = None
 
     @property
     def conditioner(self) -> Conditioner:
@@ -89,9 +92,12 @@ class DiffusionEngine:
     def loss(self, params, batch: Dict[str, Array], rng: jax.Array):
         rng_enc, rng_cond, rng_loss = jax.random.split(rng, 3)
         x = self.encode_first_stage(params, batch["image"], rng_enc)
-        cond = self.conditioner(
-            params["label_encoder"], params["vae"], batch, rng=rng_cond, train=True
-        )
+        if self.general_conditioner is not None:
+            cond = self.general_conditioner(params, batch, rng=rng_cond, train=True)
+        else:
+            cond = self.conditioner(
+                params["label_encoder"], params["vae"], batch, rng=rng_cond, train=True
+            )
         network = self.network(params, capture_attn=True)
 
         ocr_loss_fn = None
@@ -112,6 +118,11 @@ class DiffusionEngine:
     # -- sampling -------------------------------------------------------------
 
     def conditionings(self, params, batch, rng=None, force_uc_zero_label=True):
+        if self.general_conditioner is not None:
+            return self.general_conditioner.get_unconditional_conditioning(
+                params, batch, rng=rng,
+                force_uc_zero_keys=("label_ids",) if force_uc_zero_label else (),
+            )
         return self.conditioner.get_unconditional_conditioning(
             params["label_encoder"], params["vae"], batch,
             rng=rng, force_uc_zero_label=force_uc_zero_label,
@@ -264,9 +275,17 @@ class DiffusionEngine:
             z = SP.sample_euler_edm(denoise, x, sigmas)
             aux_out = {}
         else:
-            z, aux_out = self._sample_guided(
+            z, aux_out, per_step = self._sample_guided(
                 params, c, uc, batch, x, sigmas, cfg_scale, aae_enabled, detailed
             )
+            if per_step is not None:
+                # per-step observability (reference sampling.py:336-337,410-418):
+                # decoded intermediates of sample 0 for the GIF + min-local losses.
+                # Decoding happens once, batched over steps, after the scan —
+                # not per-step inside it — so the hot loop stays a pure scan.
+                inters = self.decode_first_stage(params, per_step["inter"])
+                aux_out["inters"] = jnp.clip((inters + 1.0) / 2.0, 0.0, 1.0)
+                aux_out["local_losses"] = per_step["local_loss"]
 
         if return_latents:
             return z, aux_out
@@ -277,10 +296,13 @@ class DiffusionEngine:
         self, params, c, uc, batch, x, sigmas, cfg_scale, aae_enabled, detailed
     ):
         """Euler loop with AAE latent refinement and/or middle-step attention
-        map capture (sampling.py:355-420)."""
+        map capture (sampling.py:355-420). With aae_enabled additionally emits
+        per-step ys: sample-0 denoised latents (GIF frames) and the min-local
+        loss of the conditional half (sampling.py:326-345 save_inter/save_loss)."""
         num_sigmas = sigmas.shape[0]
         bsz = x.shape[0]
         denoise = self.make_denoise_fn(params, c, uc, cfg_scale, capture_attn=True)
+        kernel = jnp.asarray(self.loss_cfg.kernel)
 
         scales = np.linspace(1.0, 0.0, num_sigmas)
         alphas = 20.0 * np.sqrt(scales)[:-1]
@@ -311,9 +333,18 @@ class DiffusionEngine:
                     k: jnp.where(is_mid, aux[k].astype(jnp.float32), saved[k])
                     for k in saved
                 }
+            ys = None
+            if aae_enabled:
+                ys = {
+                    "inter": denoised[0].astype(jnp.float32),
+                    "local_loss": L.min_local_loss(
+                        aux, batch["mask"], batch["seg_mask"], kernel,
+                        self.loss_cfg.min_attn_size,
+                    ),
+                }
             d = SP.to_d(x, sigma, denoised)
             x = x + append_dims(next_sigma - sigma, x.ndim) * d
-            return (x, saved), None
+            return (x, saved), ys
 
         saved0 = {k: jnp.zeros(s, jnp.float32) for k, s in map_shapes.items()} if detailed else {}
         xs = (
@@ -322,8 +353,8 @@ class DiffusionEngine:
             jnp.asarray(iter_en),
             jnp.asarray(thres, jnp.float32),
         )
-        (x, saved), _ = jax.lax.scan(step, (x, saved0), xs)
-        return x, saved
+        (x, saved), per_step = jax.lax.scan(step, (x, saved0), xs)
+        return x, saved, per_step
 
     def log_images(
         self,
@@ -337,10 +368,7 @@ class DiffusionEngine:
     ) -> Dict[str, Array]:
         """Observability dict (reference diffusion.py:280-335): inputs,
         VAE reconstructions, and fresh samples for the first n batch items."""
-        small = {
-            k: (v[:n] if hasattr(v, "shape") else v[:n])
-            for k, v in batch.items()
-        }
+        small = {k: v[:n] for k, v in batch.items()}
         x = small["image"]
         rng_enc, rng_samp = jax.random.split(rng)
         z = self.encode_first_stage(params, x, rng_enc)

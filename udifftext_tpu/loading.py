@@ -21,22 +21,43 @@ from .utils import ckpt_torch as CT
 
 
 def init_engine_params(
-    bundle: EngineBundle, rng: jax.Array, image_size: int = 512, seq_len: int = 12
+    bundle: EngineBundle, rng: jax.Array, image_size: Optional[int] = None,
+    seq_len: int = 12,
 ) -> Dict[str, Any]:
-    """Random-initialize all parameter collections."""
+    """Random-initialize all parameter collections.
+
+    Conv/attention parameter shapes do not depend on the spatial size, so the
+    init pass runs at the smallest latent the UNet's downsampling chain
+    admits (image_size=None) — initializing a toy graph at a forced 512²
+    would otherwise materialize giant init-time attention maps."""
     eng = bundle.engine
+    if image_size is None:
+        latent = 4 * 2 ** (len(eng.unet.channel_mult) - 1)
+        image_size = latent * eng.latent_factor
     latent = image_size // eng.latent_factor
     k1, k2, k3 = jax.random.split(rng, 3)
     t_dim = eng.unet.t_context_dim or 2048
+    y = (
+        jnp.zeros((1, eng.unet.adm_in_channels))
+        if eng.unet.use_label is not None
+        else None
+    )
     unet_params = eng.unet.init(
         k1,
         jnp.zeros((1, latent, latent, eng.unet.in_channels)),
         jnp.zeros((1,)),
         jnp.zeros((1, seq_len, t_dim)),
+        None,
+        y,
     )
     vae_params = eng.vae.init(k2, jnp.zeros((1, image_size, image_size, 3)))
     le_params = eng.label_encoder.init(k3, jnp.zeros((1, seq_len), jnp.int32))
-    return {"unet": unet_params, "vae": vae_params, "label_encoder": le_params}
+    params = {"unet": unet_params, "vae": vae_params, "label_encoder": le_params}
+    if eng.general_conditioner is not None:
+        extra = eng.general_conditioner.init_params(jax.random.fold_in(rng, 1))
+        if extra:
+            params["embedders"] = extra
+    return params
 
 
 def load_from_torch_ckpt(

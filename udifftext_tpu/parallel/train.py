@@ -26,12 +26,21 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def trainable_mask(params, opt_keys: Tuple[str, ...], trainable_top=("unet",)):
+def trainable_mask(
+    params,
+    opt_keys: Tuple[str, ...],
+    trainable_top=("unet",),
+    trainable_embedders: Tuple[str, ...] = (),
+):
     """Pytree of bools: True where the param path contains an opt_key and the
-    top-level collection is trainable (reference trains only the UNet)."""
+    top-level collection is trainable (reference trains only the UNet).
+    Embedders listed in `trainable_embedders` (per-embedder is_trainable,
+    modules.py:118-124) are fully trainable under params["embedders"]."""
 
     def mask_leaf(path, leaf):
         keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if len(keys) >= 2 and keys[0] == "embedders":
+            return keys[1] in trainable_embedders
         if keys and keys[0] not in trainable_top:
             return False
         return any(any(k in str(seg) for seg in keys) for k in opt_keys)
@@ -57,8 +66,9 @@ def make_optimizer(
     weight_decay: float = 0.01,
     b1: float = 0.9,
     b2: float = 0.999,
+    trainable_embedders: Tuple[str, ...] = (),
 ) -> optax.GradientTransformation:
-    mask = trainable_mask(params, opt_keys)
+    mask = trainable_mask(params, opt_keys, trainable_embedders=trainable_embedders)
     labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
     opt = optax.adamw(
         learning_rate=epoch_decay_schedule(base_lr, steps_per_epoch),
@@ -124,17 +134,21 @@ def make_train_step(
             def accum(carry, xs):
                 g_sum, loss_sum = carry
                 mb, r = xs
-                (l, _), g = grad_fn(state.params, mb, r)
+                (l, a), g = grad_fn(state.params, mb, r)
                 return (
                     jax.tree.map(jnp.add, g_sum, g),
                     loss_sum + l,
-                ), None
+                ), a
 
             zero_g = jax.tree.map(jnp.zeros_like, state.params)
-            (g_sum, loss_sum), _ = jax.lax.scan(accum, (zero_g, 0.0), (micro, rngs))
+            (g_sum, loss_sum), aux_stack = jax.lax.scan(
+                accum, (zero_g, 0.0), (micro, rngs)
+            )
             grads = jax.tree.map(lambda g: g / accum_steps, g_sum)
             loss = loss_sum / accum_steps
-            aux = {}
+            # mean of each aux component over microbatches — the reference
+            # logs every loss component each step (diffusion.py:151-171)
+            aux = jax.tree.map(lambda a: jnp.mean(a, axis=0), aux_stack)
 
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

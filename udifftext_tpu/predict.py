@@ -1,0 +1,77 @@
+"""Jitted end-to-end predict pipeline for test.py / demo.py.
+
+The reference's predict flow (test.py:19-40) is one torch graph; the
+TPU-native equivalent must be ONE compiled XLA program — conditioner →
+init-noise search → 50-step Euler-EDM scan → VAE decode — or every op
+dispatches individually through the device tunnel (150-300 ms per dispatch).
+`JittedPredictor` closes over the static sampler settings, strips the batch
+to its array fields (static shapes), and reuses the compiled executable
+across batches; `n_compiles` counts actual traces so tests can assert the
+pipeline compiles exactly once for a fixed shape signature.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# array fields DiffusionEngine.sample consumes; strings (label/txt/name) and
+# ragged fields stay host-side
+ARRAY_KEYS = ("image", "masked", "mask", "seg", "seg_mask", "label_ids", "r_bbox")
+
+
+class JittedPredictor:
+    """One-compile sampling pipeline with a trace counter."""
+
+    def __init__(
+        self,
+        engine,
+        num_steps: int = 50,
+        cfg_scale: float = 5.0,
+        noise_iters: int = 10,
+        aae_enabled: bool = False,
+        detailed: bool = False,
+    ):
+        self.engine = engine
+        self.num_steps = int(num_steps)
+        self.cfg_scale = float(cfg_scale)
+        self.noise_iters = int(noise_iters)
+        self.aae_enabled = bool(aae_enabled)
+        self.detailed = bool(detailed)
+        self.n_compiles = 0
+
+        def raw(params, arr_batch, rng):
+            # runs only while tracing — counts compilations per shape signature
+            self.n_compiles += 1
+            return engine.sample(
+                params,
+                arr_batch,
+                rng,
+                num_steps=self.num_steps,
+                cfg_scale=self.cfg_scale,
+                noise_iters=self.noise_iters,
+                aae_enabled=self.aae_enabled,
+                detailed=self.detailed,
+            )
+
+        self._jitted = jax.jit(raw)
+
+    @staticmethod
+    def array_batch(batch: Dict[str, Any]) -> Dict[str, jax.Array]:
+        out = {}
+        for k in ARRAY_KEYS:
+            if k in batch:
+                v = batch[k]
+                if isinstance(v, np.ndarray) and v.dtype == object:
+                    continue
+                out[k] = jnp.asarray(v)
+        return out
+
+    def __call__(
+        self, params, batch: Dict[str, Any], rng: jax.Array
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        return self._jitted(params, self.array_batch(batch), rng)

@@ -784,3 +784,78 @@ def convert_crnn(sd: Dict[str, np.ndarray], prefix: str = "model.") -> Dict:
                     tensors["bias_ih_l0_reverse"], tensors["bias_hh_l0_reverse"])
 
     return {"params": params, "batch_stats": stats, "unknown": unknown}
+
+
+# ---------------------------------------------------------------------------
+# Metrics models: FID InceptionV3 (pytorch_fid pool3 variant) and LPIPS-alex
+# ---------------------------------------------------------------------------
+
+
+def convert_fid_inception(sd: Dict[str, np.ndarray]) -> Dict:
+    """pytorch_fid / torchvision InceptionV3 state dict →
+    models/inception.FIDInceptionV3 params. AuxLogits / fc are dropped
+    (pool3 features only, matching `python -m pytorch_fid`)."""
+    params: Dict = {}
+    unknown = []
+    for key, v in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        parts = key.split(".")
+        if parts[0] in ("AuxLogits", "fc"):
+            continue
+        # {Block}.{branch}.conv.weight / .bn.{weight,bias,running_mean,running_var}
+        *mods, sub, wb = parts
+        base = tuple(mods)
+        if sub == "conv" and wb == "weight":
+            _set(params, base + ("conv", "kernel"), t_conv(v))
+        elif sub == "bn":
+            leaf = {
+                "weight": "bn_weight", "bias": "bn_bias",
+                "running_mean": "bn_mean", "running_var": "bn_var",
+            }.get(wb)
+            if leaf is None:
+                unknown.append(key)
+            else:
+                _set(params, base + (leaf,), v)
+        else:
+            unknown.append(key)
+    return {"params": params, "unknown": unknown}
+
+
+def convert_lpips_alex(
+    sd: Dict[str, np.ndarray], alexnet_sd: Optional[Dict[str, np.ndarray]] = None
+) -> Dict:
+    """LPIPS(net='alex') state dict → models/lpips.LPIPSAlex params.
+
+    Accepts either a full lpips module dump (net.sliceK.I.weight +
+    linK.model.1.weight) or the lpips package's lin-only .pth with the
+    torchvision AlexNet weights (features.I.weight) passed separately."""
+    params: Dict = {}
+    unknown = []
+    merged = dict(sd)
+    if alexnet_sd:
+        merged.update({f"features_sep.{k}": v for k, v in alexnet_sd.items()})
+
+    for key, v in merged.items():
+        parts = key.split(".")
+        if parts[0].startswith("lin") and parts[-1] == "weight":
+            # linK.model.1.weight: (1, C, 1, 1) 1x1 conv → (C,) vector
+            _set(params, (parts[0],), v.reshape(-1))
+        elif parts[0] == "scaling_layer":
+            continue  # constants, baked into the module
+        elif parts[0] == "net" and parts[1].startswith("slice"):
+            # net.sliceK.I.{weight,bias} — I is the torchvision features index
+            idx, wb = parts[2], parts[3]
+            _set(params, ("net", f"conv{idx}", "kernel" if wb == "weight" else "bias"),
+                 t_conv(v) if wb == "weight" else v)
+        elif parts[0] == "features_sep" and parts[1] == "features":
+            idx, wb = parts[2], parts[3]
+            if idx in ("0", "3", "6", "8", "10"):
+                _set(params, ("net", f"conv{idx}",
+                              "kernel" if wb == "weight" else "bias"),
+                     t_conv(v) if wb == "weight" else v)
+        elif parts[0] == "features_sep":
+            continue  # classifier weights of a full alexnet dump
+        else:
+            unknown.append(key)
+    return {"params": params, "unknown": unknown}

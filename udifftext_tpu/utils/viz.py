@@ -30,6 +30,12 @@ def average_attn_maps(
         picked.append(np.asarray(m, np.float32))
     if not picked:
         raise ValueError("no attention maps matched")
+    if len({p.shape for p in picked}) > 1:
+        # mixed resolutions can't be stacked (the reference restricts to the
+        # configured save_attn_layers, all one size — openaimodel.py:563-566);
+        # without a layer filter, keep the finest-resolution group
+        best = max(p.shape[2] for p in picked)
+        picked = [p for p in picked if p.shape[2] == best]
     stack = np.stack(picked, axis=0)  # (n_layers, B, H, N, L)
     avg = stack.mean(axis=(0, 2))  # (B, N, L)
     b, n, l = avg.shape

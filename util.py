@@ -22,7 +22,7 @@ from udifftext_tpu.loading import (
 )
 
 
-def init_model(cfgs, seed: int = 0, image_size: int = 512) -> Tuple[EngineBundle, Dict[str, Any]]:
+def init_model(cfgs, seed: int = 0, image_size: Optional[int] = None) -> Tuple[EngineBundle, Dict[str, Any]]:
     """Build the engine from the model config and load checkpoints
     (reference util.py:7-22)."""
     model_cfg = load_config(cfgs["model_cfg_path"])
