@@ -82,12 +82,61 @@ def build(batch_size: int, bf16_params: bool = True, vae_bf16: bool = True):
         d, _ = denoiser(network, x2, s2, cond)
         return guider(d, sigma)
 
+    # VAE decode temps are ~256 MB/sample at 512²; chunk large batches so the
+    # decode stays inside HBM (B=64 unchunked OOMs at 16 GB)
+    decode_chunk = min(b, 16)
+
     @jax.jit
     def sample(rng):
         x = SP.init_latent(jax.random.normal(rng, (b, 64, 64, 4)), sigmas)
         z = SP.sample_euler_edm(denoise, x, sigmas)
-        img = vae.apply(vae_params, z / 0.18215, method=AutoencoderKL.decode)
+        zc = z.reshape(b // decode_chunk, decode_chunk, *z.shape[1:])
+        img = jax.lax.map(
+            lambda zz: vae.apply(vae_params, zz / 0.18215, method=AutoencoderKL.decode),
+            zc,
+        ).reshape(b, 512, 512, 3)
         return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
+
+    return sample
+
+
+def build_test_parity(batch_size: int):
+    """The full test.py predict pipeline (conditioner → 10-iteration
+    init-noise search → 50-step CFG sampling → fp32 VAE decode) as one jit —
+    the honest `python test.py` throughput, ~40% slower than the default
+    bench scope because of the noise search's 10×2 extra CFG-doubled UNet
+    evals (sampling.py:264-322)."""
+    from udifftext_tpu.builders import build_diffusion_engine
+    from udifftext_tpu.config import load_config
+    from udifftext_tpu.predict import JittedPredictor
+
+    model_cfg = load_config("./configs/test/textdesign_sd_2.yaml")
+    bundle = build_diffusion_engine(model_cfg["model"]["params"], unet_dtype=jnp.bfloat16)
+    eng = bundle.engine
+
+    from udifftext_tpu.loading import init_engine_params
+
+    params = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        jax.eval_shape(lambda: init_engine_params(bundle, jax.random.PRNGKey(0))),
+    )
+    params["unet"] = cast_params_bf16(params["unet"])
+
+    b = batch_size
+    mask = jnp.zeros((b, 512, 512, 1)).at[:, 128:384, 128:384].set(1.0)
+    batch = {
+        "image": jnp.zeros((b, 512, 512, 3)),
+        "masked": jnp.zeros((b, 512, 512, 3)),
+        "mask": mask,
+        "seg": jnp.zeros((b, 512, 512, 12)),
+        "seg_mask": jnp.ones((b, 12)),
+        "label_ids": jnp.ones((b, 12), jnp.int32),
+    }
+    predictor = JittedPredictor(eng, num_steps=50, cfg_scale=5.0, noise_iters=10)
+
+    def sample(rng):
+        img, _ = predictor(params, batch, rng)
+        return img
 
     return sample
 
@@ -95,28 +144,44 @@ def build(batch_size: int, bf16_params: bool = True, vae_bf16: bool = True):
 def main():
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     mode = sys.argv[2] if len(sys.argv) > 2 else ""
-    sample = build(batch_size, bf16_params=mode != "fp32", vae_bf16=mode != "fp32vae")
+    if mode == "test_parity":
+        sample = build_test_parity(batch_size)
+        scope = (
+            "full test.py predict pipeline: conditioner + 10-iter init-noise "
+            "search + 50-step CFG Euler-EDM + fp32 VAE decode, one jit"
+        )
+        metric = "inpaint_512_testflow_samples_per_sec_per_chip"
+    else:
+        sample = build(batch_size, bf16_params=mode != "fp32", vae_bf16=mode != "fp32vae")
+        scope = (
+            "50-step CFG Euler-EDM sampling + VAE decode "
+            f"({'fp32' if mode == 'fp32vae' else 'bf16'} VAE); excludes the "
+            "init-noise search and conditioner (see test_parity mode)"
+        )
+        metric = "inpaint_512_50step_samples_per_sec_per_chip"
 
     rng = jax.random.PRNGKey(0)
     # warmup / compile
-    sample(rng).block_until_ready()
+    jax.block_until_ready(sample(rng))
 
     n_iters = 3
     t0 = time.perf_counter()
     for i in range(n_iters):
         rng, sub = jax.random.split(rng)
         out = sample(sub)
-    out.block_until_ready()
+    jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
     samples_per_sec = batch_size * n_iters / dt
     print(
         json.dumps(
             {
-                "metric": "inpaint_512_50step_samples_per_sec_per_chip",
+                "metric": metric,
                 "value": round(samples_per_sec, 4),
                 "unit": "samples/s",
                 "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 4),
+                "scope": scope,
+                "batch": batch_size,
             }
         )
     )

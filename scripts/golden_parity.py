@@ -1,0 +1,240 @@
+"""Full-scale golden parity vs the torch reference (BASELINE configs 1-2).
+
+Runs the SAME fixed-seed 512² text-inpainting sample through the mounted
+torch reference (/root/reference, imported read-only via tests/torch_ref.py
+stubs) and through this repo's JAX rebuild, with the published checkpoint
+loaded into both, and compares latents + decoded images.
+
+Gated on checkpoint presence: exits 0 with a SKIPPED line when no checkpoint
+is available (this zero-egress image ships none), so the harness is runnable
+the moment weights are present.
+
+Deterministic comparison protocol (SURVEY §7 "hard parts" — the RNG story):
+  - VAE encode uses the posterior MODE on both sides. The reference's
+    inference encode *samples* the posterior (autoencoder.py:319-321) from
+    the torch RNG stream, which cannot be replayed in JAX; mode is the only
+    seed-free deterministic common point, and is what the comparison fixes.
+  - The init latent is a SHARED numpy randn (seed --seed), scaled by
+    sqrt(1+sigma_0^2) exactly as sampling.py:54 does.
+  - Init-noise search and AAE are off; plain 50-step (or --steps) Euler-EDM
+    with CFG scale 5.0 — the reference test.py flow minus its stochastic
+    extras.
+  - Everything fp32; the JAX side runs on CPU by default (set
+    JAX_PLATFORMS=tpu to measure TPU-vs-torch numerics instead).
+
+Tolerances (documented, fp32 CPU vs CPU): final latent max-abs <= 5e-3 at
+2 steps (config 1), decoded image max-abs <= 5e-2 in [0,1] at 50 steps
+(config 2) — step count amplifies conv-order differences.
+
+Usage:
+  python scripts/golden_parity.py --ckpt ./checkpoints/udifftext.ckpt \
+      [--config 1|2] [--steps N] [--seed 0] [--image path --text WORD]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "./tests")
+
+
+def build_torch_side(model_cfg, sd):
+    """Reference UNet / VAE / LabelEncoder with the checkpoint loaded."""
+    from torch_ref import install_stubs
+
+    install_stubs()
+    import torch
+
+    from sgm.models.autoencoder import AutoencoderKLInferenceWrapper
+    from sgm.modules.diffusionmodules.openaimodel import UnifiedUNetModel
+    from sgm.modules.encoders.modules import LabelEncoder
+
+    p = model_cfg["model"]["params"]
+    net = dict(p["network_config"]["params"])
+    fs = p["first_stage_config"]["params"]
+    le_params = None
+    for emb in p["conditioner_config"]["params"]["emb_models"]:
+        if "LabelEncoder" in emb["target"]:
+            le_params = dict(emb.get("params", {}) or {})
+
+    net.setdefault("ctrl_channels", 0)
+    net.setdefault("save_attn_type", ["t_attn"])
+    net.setdefault("save_attn_layers", [])
+    unet = UnifiedUNetModel(**net).eval()
+    vae = AutoencoderKLInferenceWrapper(
+        embed_dim=fs["embed_dim"], ddconfig=dict(fs["ddconfig"]),
+        lossconfig={"target": "torch.nn.Identity"},
+    ).eval()
+    le_params.pop("ckpt_path", None)
+    le = LabelEncoder(**le_params).eval()
+
+    def load(module, prefix):
+        sub = {k[len(prefix):]: torch.as_tensor(v) for k, v in sd.items()
+               if k.startswith(prefix)}
+        missing, unexpected = module.load_state_dict(sub, strict=False)
+        print(f"[torch {prefix}] {len(missing)} missing, {len(unexpected)} unexpected")
+
+    load(unet, "model.diffusion_model.")
+    load(vae, "first_stage_model.")
+    load(le, "conditioner.embedders.0.")
+    return unet, vae, le
+
+
+def torch_sample(unet, vae, le, batch, x0_np, sigmas_np, table_np, scale=5.0):
+    """Euler-EDM CFG loop through the torch modules (the reference's
+    denoiser/sampler math re-stated; see denoiser.py:31-63, sampling.py
+    :218-262), deterministic mode-encode."""
+    import torch
+
+    with torch.no_grad():
+        t = lambda a: torch.as_tensor(np.asarray(a), dtype=torch.float32)
+        image = t(batch["masked"]).permute(0, 3, 1, 2)
+        mask = t(batch["mask"]).permute(0, 3, 1, 2)
+
+        # AutoencoderKL.encode returns the posterior; the inference wrapper's
+        # .sample() (autoencoder.py:318-320) is replaced by .mode() per the
+        # deterministic protocol above
+        from sgm.models.autoencoder import AutoencoderKL
+
+        post = AutoencoderKL.encode(vae, image)
+        z_masked = post.mode() * 0.18215
+        mask_small = torch.nn.functional.interpolate(
+            mask, size=z_masked.shape[-2:], mode="bilinear"
+        )
+        concat = torch.cat([mask_small, z_masked], dim=1)
+
+        ids = t(batch["label_ids"]).long()
+        ctx = le.get_embeddings(ids)  # same char ids as the JAX side
+        uc_ctx = torch.zeros_like(ctx)
+
+        table = t(table_np)
+        x = t(x0_np).permute(0, 3, 1, 2) * float(np.sqrt(1.0 + sigmas_np[0] ** 2))
+        b = x.shape[0]
+        for i in range(len(sigmas_np) - 1):
+            sigma = float(sigmas_np[i])
+            idx = int(np.argmin(np.abs(table_np - sigma)))
+            sig = table[idx]
+            c_in = 1.0 / torch.sqrt(sig**2 + 1.0)
+            c_noise = torch.full((2 * b,), float(idx), dtype=torch.float32)
+            x2 = torch.cat([x, x], 0)
+            cc = torch.cat([concat, concat], 0)
+            tc = torch.cat([uc_ctx, ctx], 0)
+            out = unet(torch.cat([x2 * c_in, cc], dim=1), c_noise, t_context=tc)
+            denoised = out * (-sig) + x2  # eps scaling: c_out=-sigma, c_skip=1
+            d_u, d_c = denoised.chunk(2)
+            denoised = d_u + scale * (d_c - d_u)
+            d = (x - denoised) / sig
+            x = x + (float(sigmas_np[i + 1]) - sig) * d
+
+        img = vae.decode(x / 0.18215)
+        img = torch.clamp((img + 1.0) / 2.0, 0.0, 1.0)
+    return x.permute(0, 2, 3, 1).numpy(), img.permute(0, 2, 3, 1).numpy()
+
+
+def jax_sample(cfgs, batch, x0_np, num_steps, scale=5.0):
+    import jax
+    import jax.numpy as jnp
+
+    from udifftext_tpu.diffusion import sampling as SP
+    from udifftext_tpu.diffusion.schedules import append_dims
+    from util import init_model
+
+    bundle, params = init_model(cfgs)
+    eng = bundle.engine
+    jb = {k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)}
+
+    c, uc = eng.conditionings(params, jb, rng=None)  # rng None → mode encode
+    sigmas = jnp.asarray(eng.discretization(num_steps, do_append_zero=True))
+    denoise = eng.make_denoise_fn(params, c, uc, scale)
+    x = SP.init_latent(jnp.asarray(x0_np), sigmas)
+    z = SP.sample_euler_edm(denoise, x, sigmas)
+    img = eng.decode_first_stage(params, z)
+    img = jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
+    return np.asarray(z), np.asarray(img)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="./checkpoints/udifftext.ckpt")
+    ap.add_argument("--model_cfg", default="./configs/test/textdesign_sd_2.yaml")
+    ap.add_argument("--config", type=int, default=2, choices=(1, 2))
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--image", default="/root/reference/demo/examples/CLOTHES_0_0.png")
+    ap.add_argument("--text", default="CLOTHES")
+    ap.add_argument("--size", type=int, default=512)
+    args = ap.parse_args()
+
+    if not os.path.exists(args.ckpt):
+        print(f"SKIPPED: checkpoint {args.ckpt} not present (zero-egress image "
+              "ships no weights); harness is ready — rerun with --ckpt when "
+              "weights are available")
+        return 0
+
+    from torch_ref import reference_available
+
+    if not reference_available():
+        print("SKIPPED: /root/reference not mounted")
+        return 0
+
+    steps = args.steps or (2 if args.config == 1 else 50)
+
+    from udifftext_tpu.config import ConfigNode, load_config
+    from udifftext_tpu.utils.ckpt_torch import load_torch_state_dict
+
+    model_cfg = load_config(args.model_cfg)
+    sd = load_torch_state_dict(args.ckpt)
+
+    # batch: demo example image (config 2) or synthetic (config 1)
+    from demo import build_batch
+
+    if args.config == 2 and os.path.exists(args.image):
+        from PIL import Image
+
+        img = np.asarray(Image.open(args.image).convert("RGB"))
+    else:
+        img = (np.random.RandomState(1).rand(args.size, args.size, 3) * 255).astype(np.uint8)
+    mask = np.zeros(img.shape[:2], np.uint8)
+    h, w = mask.shape
+    mask[h // 4 : 3 * h // 4, w // 4 : 3 * w // 4] = 255
+    batch = build_batch(img, mask, args.text[:12].lower(), args.size, args.size)
+
+    dd = model_cfg["model"]["params"]["first_stage_config"]["params"]["ddconfig"]
+    lf = 2 ** (len(dd["ch_mult"]) - 1)
+    rng = np.random.RandomState(args.seed)
+    x0 = rng.randn(1, args.size // lf, args.size // lf, 4).astype(np.float32)
+
+    cfgs = ConfigNode.wrap({
+        "model_cfg_path": args.model_cfg, "load_ckpt_path": args.ckpt,
+        "bf16": False,
+    })
+
+    from udifftext_tpu.diffusion.schedules import LegacyDDPMDiscretization
+
+    disc = LegacyDDPMDiscretization()
+    sigmas_np = np.asarray(disc(steps, do_append_zero=True))
+    table_np = np.asarray(disc(1000, do_append_zero=False, flip=True))
+
+    print(f"config {args.config}: {steps} steps, seed {args.seed}")
+    z_j, img_j = jax_sample(cfgs, batch, x0, steps)
+    unet, vae, le = build_torch_side(model_cfg, sd)
+    z_t, img_t = torch_sample(unet, vae, le, batch, x0, sigmas_np, table_np)
+
+    lat_diff = np.abs(z_j - z_t)
+    img_diff = np.abs(img_j - img_t)
+    print(f"latent: max {lat_diff.max():.5f} mean {lat_diff.mean():.6f}")
+    print(f"image : max {img_diff.max():.5f} mean {img_diff.mean():.6f}")
+    tol = 5e-3 if args.config == 1 else 5e-2
+    target = lat_diff if args.config == 1 else img_diff
+    ok = target.max() <= tol
+    print("PASS" if ok else f"FAIL (tolerance {tol})")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,9 +1,10 @@
 """STR benchmark-table evaluation (src/parseq/test.py parity).
 
 Evaluates word accuracy / 1-NED / confidence per dataset directory and prints
-the markdown summary table. Datasets are image folders with a `labels.txt`
-(`<filename> <label>` per line) — the LMDB reader of the reference is
-replaced by a plain folder layout (lmdb is not available in this image).
+the markdown summary table. Each benchmark directory may be either an LMDB
+database (the parseq distribution format, strhub/data/dataset.py:31-137 —
+read by the pure-Python reader in udifftext_tpu/data/lmdb.py) or an image
+folder with a `labels.txt` (`<filename> <label>` per line).
 
 Usage: python scripts/str_test.py --data_root <root> [--model parseq --ckpt p]
 """
@@ -24,6 +25,15 @@ BENCHMARKS = ("IIIT5k", "SVT", "IC13_1015", "IC15_2077", "SVTP", "CUTE80")
 
 
 def load_folder(d):
+    """Items as (open_image_fn, label) pairs from an LMDB database dir (the
+    parseq distribution format) or a labels.txt image folder."""
+    if os.path.exists(ospj(d, "data.mdb")):
+        from udifftext_tpu.data.lmdb import LmdbStrDataset
+
+        ds = LmdbStrDataset(d)
+        return [
+            (lambda i=i: ds[i][0], ds.labels[i]) for i in range(len(ds))
+        ]
     labels_path = ospj(d, "labels.txt")
     items = []
     if not os.path.exists(labels_path):
@@ -32,7 +42,8 @@ def load_folder(d):
         for line in f:
             parts = line.rstrip("\n").split(" ", 1)
             if len(parts) == 2:
-                items.append((ospj(d, parts[0]), parts[1]))
+                p = ospj(d, parts[0])
+                items.append((lambda p=p: Image.open(p), parts[1]))
     return items
 
 
@@ -54,7 +65,11 @@ def main():
 
     model, params = create_model(args.model, args.ckpt)
     if params is None:
-        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 128, 3)), 1)
+        x0 = jnp.zeros((1, 32, 128, 3))
+        try:
+            params = model.init(jax.random.PRNGKey(0), x0, 1)
+        except TypeError:  # CTC models take no max_len argument
+            params = model.init(jax.random.PRNGKey(0), x0)
         print("warning: random weights")
     predictor = ParseqPredictor(model=model, tokenizer=ParseqTokenizer())
 
@@ -68,7 +83,7 @@ def main():
         preds, gts, confs = [], [], []
         for i in range(0, len(items), args.batch):
             chunk = items[i : i + args.batch]
-            imgs = [np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0 for p, _ in chunk]
+            imgs = [np.asarray(open_fn().convert("RGB"), np.float32) / 255.0 for open_fn, _ in chunk]
             import cv2
 
             crops = np.stack([cv2.resize(im, (128, 32), interpolation=cv2.INTER_CUBIC) for im in imgs])

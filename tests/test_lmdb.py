@@ -1,0 +1,110 @@
+"""Pure-Python LMDB reader/writer round-trip + the parseq-layout STR dataset
+(strhub/data/dataset.py:31-137 parity without the lmdb C library)."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from udifftext_tpu.data.lmdb import LMDBReader, LmdbStrDataset, write_lmdb
+
+
+def test_lmdb_roundtrip_small(tmp_path):
+    d = str(tmp_path / "db")
+    items = {f"key-{i:04d}".encode(): f"value {i}".encode() for i in range(500)}
+    write_lmdb(d, items)
+    with LMDBReader(d) as db:
+        assert len(db) == 500
+        assert db.get(b"key-0007") == b"value 7"
+        assert db.get(b"key-0499") == b"value 499"
+        assert db.get(b"missing") is None
+        got = dict(db.items())
+    assert got == items
+
+
+def test_lmdb_overflow_values(tmp_path):
+    """Values larger than half a page ride overflow pages (F_BIGDATA)."""
+    d = str(tmp_path / "db")
+    big = bytes(range(256)) * 64  # 16 KB, spans >4 pages
+    items = {b"small": b"x", b"big": big, b"big2": big[::-1]}
+    write_lmdb(d, items)
+    with LMDBReader(d) as db:
+        assert db.get(b"big") == big
+        assert db.get(b"big2") == big[::-1]
+        assert db.get(b"small") == b"x"
+        assert dict(db.items()) == items
+
+
+def test_lmdb_multilevel_tree(tmp_path):
+    """Enough entries to force branch pages (depth > 1)."""
+    d = str(tmp_path / "db")
+    rng = np.random.RandomState(0)
+    items = {
+        bytes(rng.randint(97, 123, 24).astype(np.uint8)): bytes(
+            rng.randint(0, 256, 100).astype(np.uint8)
+        )
+        for _ in range(3000)
+    }
+    write_lmdb(d, items)
+    with LMDBReader(d) as db:
+        assert len(db) == len(items)
+        keys = sorted(items)
+        for k in (keys[0], keys[len(keys) // 2], keys[-1]):
+            assert db.get(k) == items[k]
+        assert [k for k, _ in db.items()] == keys
+
+
+def test_lmdb_str_dataset(tmp_path):
+    d = str(tmp_path / "IIIT5k")
+    items = {b"num-samples": b"3"}
+    labels = ["cat", "dog", "toolongtoolongtoolongtoolong"]
+    for i, label in enumerate(labels, start=1):
+        arr = (np.random.RandomState(i).rand(32, 100, 3) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        items[b"image-%09d" % i] = buf.getvalue()
+        items[b"label-%09d" % i] = label.encode()
+    write_lmdb(d, items)
+
+    ds = LmdbStrDataset(d, max_label_len=25)
+    assert len(ds) == 2  # the 28-char label is filtered out
+    img, label = ds[0]
+    assert label == "cat"
+    assert img.size == (100, 32)
+
+    # charset filtering (CharsetAdapter semantics)
+    ds2 = LmdbStrDataset(d, charset="cat")
+    assert len(ds2) == 1 and ds2.labels == ["cat"]
+
+
+def test_str_test_cli_consumes_lmdb(tmp_path):
+    """scripts/str_test.py evaluates an LMDB benchmark dir end-to-end."""
+    import os
+    import subprocess
+    import sys
+
+    d = str(tmp_path / "IIIT5k")
+    items = {b"num-samples": b"2"}
+    for i, label in enumerate(["cat", "dog"], start=1):
+        arr = (np.random.RandomState(i).rand(32, 100, 3) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        items[b"image-%09d" % i] = buf.getvalue()
+        items[b"label-%09d" % i] = label.encode()
+    write_lmdb(d, items)
+
+    env = {
+        k: v for k, v in os.environ.items()
+        # the axon sitecustomize forces the TPU backend via jax.config unless
+        # its trigger vars are absent (same dance as __graft_entry__)
+        if not k.startswith(("PALLAS_AXON_", "AXON_")) and not k.startswith("TPU_")
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "scripts/str_test.py", "--data_root", str(tmp_path),
+         "--model", "crnn"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "| IIIT5k | 2 |" in out.stdout, out.stdout

@@ -1,0 +1,115 @@
+"""VAE adversarial training path (AutoencodingEngine two-optimizer parity,
+autoencoder.py:182-267 + losses/__init__.py:88-246): discriminator shape,
+hinge/vanilla losses, and both train steps updating the right params."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from udifftext_tpu.diffusion.vae_loss import (
+    VAEGanLossConfig,
+    adopt_weight,
+    hinge_d_loss,
+    make_vae_train_steps,
+    vanilla_d_loss,
+)
+from udifftext_tpu.models.discriminator import NLayerDiscriminator
+from udifftext_tpu.models.vae import AutoencoderKL, DDConfig
+
+IMG = 32
+
+
+def test_discriminator_patch_output():
+    disc = NLayerDiscriminator(n_layers=3)
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = disc.init(jax.random.PRNGKey(0), x, train=False)
+    out = disc.apply(variables, x, train=False)
+    # 64 → 32 → 16 → 8 (stride-1 last block + 1ch head keeps ~8)
+    assert out.shape[0] == 2 and out.shape[-1] == 1
+    assert "batch_stats" in variables
+
+
+def test_d_losses():
+    real = jnp.asarray([2.0, 2.0])
+    fake = jnp.asarray([-2.0, -2.0])
+    assert float(hinge_d_loss(real, fake)) == 0.0  # perfectly separated
+    assert float(hinge_d_loss(fake, real)) > 2.0
+    assert float(vanilla_d_loss(real, fake)) < float(vanilla_d_loss(fake, real))
+    assert float(adopt_weight(1.0, jnp.asarray(5), threshold=10)) == 0.0
+    assert float(adopt_weight(1.0, jnp.asarray(15), threshold=10)) == 1.0
+
+
+@pytest.fixture(scope="module")
+def setup():
+    vae = AutoencoderKL(
+        DDConfig(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                 attn_resolutions=(), in_channels=3, resolution=IMG, z_channels=4),
+        embed_dim=4,
+    )
+    disc = NLayerDiscriminator(ndf=16, n_layers=2)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    vae_params = vae.init(k1, jnp.zeros((1, IMG, IMG, 3)))
+    disc_vars = disc.init(k2, jnp.zeros((1, IMG, IMG, 3)), train=False)
+    return vae, disc, vae_params, disc_vars
+
+
+def test_vae_gan_train_steps(setup):
+    vae, disc, vae_params, disc_vars = setup
+    cfg = VAEGanLossConfig(disc_start=0, perceptual_weight=0.0)
+    ae_opt = optax.adam(1e-4)
+    d_opt = optax.adam(1e-4)
+    ae_step, disc_step = make_vae_train_steps(cfg, vae, disc, ae_opt, d_opt)
+
+    ae_state = {
+        "params": vae_params,
+        "logvar": jnp.zeros(()),
+        "opt_state": ae_opt.init(vae_params),
+        "step": jnp.asarray(0),
+    }
+    disc_state = {"vars": disc_vars, "opt_state": d_opt.init(disc_vars["params"])}
+
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, IMG, IMG, 3).clip(-1, 1), jnp.float32
+    )
+    rng = jax.random.PRNGKey(1)
+
+    ae_state2, loss, log = ae_step(ae_state, disc_state, x, rng)
+    assert np.isfinite(float(loss))
+    for key in ("loss/nll_loss", "loss/rec_loss", "loss/kl_loss", "loss/g_loss",
+                "loss/d_weight"):
+        assert np.isfinite(float(log[key])), key
+    # the VAE moved, the discriminator did not
+    before = jax.tree.leaves(vae_params)[0]
+    after = jax.tree.leaves(ae_state2["params"])[0]
+    assert float(jnp.max(jnp.abs(after - before))) > 0
+    assert int(ae_state2["step"]) == 1
+
+    disc_state2, d_loss, d_log = disc_step(ae_state2, disc_state, x, rng)
+    assert np.isfinite(float(d_loss))
+    db = jax.tree.leaves(disc_vars["params"])[0]
+    da = jax.tree.leaves(disc_state2["vars"]["params"])[0]
+    assert float(jnp.max(jnp.abs(da - db))) > 0
+    # BN running stats advanced
+    sb = jax.tree.leaves(disc_vars["batch_stats"])[0]
+    sa = jax.tree.leaves(disc_state2["vars"]["batch_stats"])[0]
+    assert float(jnp.max(jnp.abs(sa - sb))) > 0
+
+
+def test_vae_gan_with_perceptual(setup):
+    """perceptual_fn plugs in (LPIPSAlex-shaped callable)."""
+    vae, disc, vae_params, disc_vars = setup
+    cfg = VAEGanLossConfig(perceptual_weight=1.0)
+    ae_opt = optax.adam(1e-4)
+    d_opt = optax.adam(1e-4)
+    perceptual = lambda a, b: jnp.mean((a - b) ** 2, axis=(1, 2, 3))
+    ae_step, _ = make_vae_train_steps(cfg, vae, disc, ae_opt, d_opt, perceptual)
+    ae_state = {
+        "params": vae_params, "logvar": jnp.zeros(()),
+        "opt_state": ae_opt.init(vae_params), "step": jnp.asarray(0),
+    }
+    disc_state = {"vars": disc_vars, "opt_state": d_opt.init(disc_vars["params"])}
+    x = jnp.zeros((1, IMG, IMG, 3))
+    _, loss, log = ae_step(ae_state, disc_state, x, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))

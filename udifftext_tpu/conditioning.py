@@ -39,10 +39,12 @@ OUTPUT_DIM2KEYS = {2: "vector", 3: "crossattn", 4: "concat", 5: "concat"}
 
 
 def spatial_rescale(x: Array, multiplier: float = 0.125, method: str = "bilinear") -> Array:
-    """Bilinear resize (align_corners=False semantics, like F.interpolate)."""
+    """Bilinear resize (align_corners=False, antialias OFF — exactly
+    F.interpolate's semantics; jax.image.resize antialiases downsamples by
+    default, which diverges from the reference SpatialRescaler)."""
     b, h, w, c = x.shape
     out_shape = (b, int(h * multiplier), int(w * multiplier), c)
-    return jax.image.resize(x, out_shape, method=method)
+    return jax.image.resize(x, out_shape, method=method, antialias=False)
 
 
 @dataclasses.dataclass(frozen=True)

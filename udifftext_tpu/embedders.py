@@ -85,7 +85,8 @@ class SpatialRescalerRemap(nn.Module):
         for _ in range(self.n_stages):
             b, h, w, c = x.shape
             x = jax.image.resize(
-                x, (b, int(h * self.multiplier), int(w * self.multiplier), c), self.method
+                x, (b, int(h * self.multiplier), int(w * self.multiplier), c),
+                self.method, antialias=False,
             )
         if self.out_channels is not None:
             pad = self.kernel_size // 2
@@ -167,6 +168,27 @@ def load_frozen_clip_text_embedder(
         if layer == "pooled":
             return out.pooler_output[:, None]
         return out.hidden_states[-2]
+
+    return embed
+
+
+def load_frozen_byt5_embedder(version: str = "google/byt5-base", max_length: int = 77):
+    """FrozenByT5Embedder (reference :330-368). The ByT5 tokenizer is pure
+    byte-level (no vocab download needed); the encoder weights must be
+    present locally (zero-egress environment)."""
+    try:
+        from transformers import ByT5Tokenizer, FlaxT5EncoderModel
+    except ImportError as e:
+        raise RuntimeError("transformers with Flax support is required") from e
+    tokenizer = ByT5Tokenizer()
+    model = FlaxT5EncoderModel.from_pretrained(version, local_files_only=True)
+
+    def embed(texts):
+        tokens = tokenizer(
+            texts, truncation=True, max_length=max_length, padding="max_length",
+            return_tensors="np",
+        )
+        return model(input_ids=tokens["input_ids"]).last_hidden_state
 
     return embed
 

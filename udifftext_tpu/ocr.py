@@ -65,7 +65,11 @@ class ParseqPredictor:
         return (crops - 0.5) / 0.5
 
     def read_logits(self, params, crops: Array, refine_iters: int = 1) -> Array:
-        return self.model.apply(params, self.preprocess(crops), refine_iters)
+        x = self.preprocess(crops)
+        try:
+            return self.model.apply(params, x, refine_iters)
+        except TypeError:  # CTC-style hub models (CRNN) take no refine arg
+            return self.model.apply(params, x)
 
     def img2txt(self, params, crops: Array) -> List[str]:
         """crops already resized to (B, 32, 128, 3), [0, 1] range."""

@@ -31,7 +31,10 @@ _NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, precision):
-    q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
+    # MXU work stays in the input dtype (bf16 runs ~8x the fp32 rate on the
+    # systolic array); accumulation / softmax stats are fp32 via
+    # preferred_element_type. Scaling is applied to the fp32 logits, not to q.
+    q = q_ref[0]  # (bq, d)
     n_k = k_ref.shape[1]
     bq, d = q.shape
 
@@ -41,21 +44,21 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, pre
 
     num_kv = n_k // block_k
     for j in range(num_kv):
-        k = k_ref[0, j * block_k : (j + 1) * block_k, :].astype(jnp.float32)
-        v = v_ref[0, j * block_k : (j + 1) * block_k, :].astype(jnp.float32)
+        k = k_ref[0, j * block_k : (j + 1) * block_k, :]
+        v = v_ref[0, j * block_k : (j + 1) * block_k, :]
         s = jax.lax.dot_general(
             q,
             k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision,
-        )  # (bq, bk)
+        ) * scale  # (bq, bk) fp32
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p,
+            p.astype(v.dtype),
             v,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -72,7 +75,7 @@ def flash_attention(
     k: Array,
     v: Array,
     scale: Optional[float] = None,
-    block_q: int = 256,
+    block_q: int = 512,
     block_k: int = 512,
 ) -> Array:
     """q (B, Nq, H, D), k/v (B, Nk, H, D) → (B, Nq, H, D).
@@ -90,7 +93,7 @@ def _flash_fwd_impl(
     k: Array,
     v: Array,
     scale: Optional[float] = None,
-    block_q: int = 256,
+    block_q: int = 512,
     block_k: int = 512,
 ) -> Array:
     b, nq, h, d = q.shape
@@ -108,7 +111,8 @@ def _flash_fwd_impl(
     grid = (b * h, nq // block_q)
     precision = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=block_k, precision=precision),
+        functools.partial(_flash_kernel, scale=scale, block_k=block_k,
+                          precision=precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
