@@ -161,15 +161,18 @@ def main():
         metric = "inpaint_512_50step_samples_per_sec_per_chip"
 
     rng = jax.random.PRNGKey(0)
-    # warmup / compile
-    jax.block_until_ready(sample(rng))
+    # warmup / compile; force a host round-trip of a scalar reduction —
+    # through the axon relay, block_until_ready alone can return before the
+    # computation actually ran (PROGRESS.md round-1 measurement trap)
+    float(jnp.sum(sample(rng)))
 
     n_iters = 3
     t0 = time.perf_counter()
+    acc = jnp.zeros(())
     for i in range(n_iters):
         rng, sub = jax.random.split(rng)
-        out = sample(sub)
-    jax.block_until_ready(out)
+        acc = acc + jnp.sum(sample(sub))
+    float(acc)
     dt = time.perf_counter() - t0
 
     samples_per_sec = batch_size * n_iters / dt

@@ -109,12 +109,18 @@ def make_train_step(
     ema_decay: float = 0.9999,
     donate: bool = True,
     mesh: Optional[Mesh] = None,
+    state_sharding_tree: Optional[Any] = None,
 ):
     """Build the jitted train step.
 
     The batch's leading dim must be (accum_steps * per_step_batch); grads are
     averaged over microbatches via lax.scan before one optimizer update —
     matching accumulate_grad_batches semantics.
+
+    `state_sharding_tree` (see parallel/sharding.state_shardings) opts into
+    megatron-style tensor parallelism: a NamedSharding pytree matching the
+    TrainState; without it params replicate (pure DP, the reference's DDP
+    semantics).
     """
 
     grad_fn = jax.value_and_grad(
@@ -170,10 +176,11 @@ def make_train_step(
 
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("data"))
+    state_sh = repl if state_sharding_tree is None else state_sharding_tree
     return jax.jit(
         step_fn,
-        in_shardings=(repl, batch_sh, repl),
-        out_shardings=(repl, repl, repl),
+        in_shardings=(state_sh, batch_sh, repl),
+        out_shardings=(state_sh, repl, repl),
         donate_argnums=(0,) if donate else (),
     )
 
