@@ -237,3 +237,25 @@ def test_tensor_parallel_matches_data_parallel():
             assert shardings and any("tensor" in str(s) for s in shardings), shardings
 
     np.testing.assert_allclose(losses["dp"], losses["dp_tp"], rtol=2e-4)
+
+
+def test_warmup_cosine_cycles_schedule():
+    """LambdaWarmUpCosineScheduler2 parity (sgm/lr_scheduler.py:51-111):
+    per-cycle warmup + cosine decay, checked against a direct numpy replay."""
+    from udifftext_tpu.parallel.train import warmup_cosine_cycles_schedule
+
+    warm, fmin, fmax, fstart = [10, 5], [0.1, 0.0], [1.0, 0.5], [0.0, 0.1]
+    lengths = [100, 50]
+    sched = warmup_cosine_cycles_schedule(warm, fmin, fmax, fstart, lengths)
+
+    def ref(n):
+        cum = [0, 100, 150]
+        cycle = 0 if n <= 100 else 1
+        n = n - cum[cycle]
+        if n < warm[cycle]:
+            return (fmax[cycle] - fstart[cycle]) / warm[cycle] * n + fstart[cycle]
+        t = min((n - warm[cycle]) / (lengths[cycle] - warm[cycle]), 1.0)
+        return fmin[cycle] + 0.5 * (fmax[cycle] - fmin[cycle]) * (1 + np.cos(t * np.pi))
+
+    for n in (0, 5, 10, 50, 99, 101, 104, 120, 149):
+        np.testing.assert_allclose(float(sched(n)), ref(n), rtol=1e-5, atol=1e-6)

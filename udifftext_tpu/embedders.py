@@ -142,6 +142,45 @@ class IdentityFirstStage:
         return x
 
 
+class IdentityEncoder:
+    """Pass-through embedder (reference modules.py:246-252)."""
+
+    def encode(self, x: Array) -> Array:
+        return x
+
+    def __call__(self, x: Array) -> Array:
+        return x
+
+
+class InceptionV3Embedder:
+    """InceptionV3 feature embedder (reference modules.py:220-243 wraps the
+    pytorch_fid port): our native FIDInceptionV3 with the same squeeze-at-end
+    call surface. Input convention matches the wrapper's default
+    normalize_input=False: the caller supplies [-1, 1]-ish images and the
+    resize to 299² happens inside."""
+
+    def __init__(self, normalize_input: bool = False, weights_path: Optional[str] = None):
+        import jax as _jax
+
+        from .models.inception import FIDInceptionV3
+        from .utils import ckpt_torch as CT
+
+        self.model = FIDInceptionV3(resize_input=True, normalize_input=normalize_input)
+        self.params = None
+        if weights_path:
+            conv = CT.convert_fid_inception(CT.load_torch_state_dict(weights_path))
+            self.params = {"params": _jax.tree.map(jnp.asarray, conv["params"])}
+
+    def init(self, rng, x: Array):
+        self.params = self.model.init(rng, x)
+        return self.params
+
+    def __call__(self, x: Array) -> Array:
+        assert self.params is not None, "load weights or call init() first"
+        out = self.model.apply(self.params, x)
+        return jnp.squeeze(out)
+
+
 def load_frozen_clip_text_embedder(
     version: str = "openai/clip-vit-large-patch14",
     max_length: int = 77,

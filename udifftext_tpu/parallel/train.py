@@ -212,6 +212,46 @@ def warmup_cosine_schedule(
     return schedule
 
 
+def warmup_cosine_cycles_schedule(
+    warm_up_steps,
+    f_min,
+    f_max,
+    f_start,
+    cycle_lengths,
+    linear: bool = False,
+):
+    """LambdaWarmUpCosineScheduler2 / LambdaLinearScheduler semantics
+    (sgm/lr_scheduler.py:51-135): repeated cycles with per-cycle warmup /
+    min / max / start multipliers, cosine (or linear) decay inside each
+    cycle. Returns an lr-multiplier schedule (use with base lr 1.0, like the
+    reference). jit-safe: cycle lookup via searchsorted over static tables."""
+    import numpy as np
+
+    warm = jnp.asarray(warm_up_steps, jnp.float32)
+    fmin = jnp.asarray(f_min, jnp.float32)
+    fmax = jnp.asarray(f_max, jnp.float32)
+    fstart = jnp.asarray(f_start, jnp.float32)
+    lengths = jnp.asarray(cycle_lengths, jnp.float32)
+    cum = jnp.asarray(np.cumsum([0] + list(cycle_lengths)), jnp.float32)
+
+    def schedule(step):
+        n_global = jnp.asarray(step, jnp.float32)
+        cycle = jnp.clip(
+            jnp.searchsorted(cum[1:], n_global, side="left"), 0, len(cycle_lengths) - 1
+        )
+        n = n_global - cum[cycle]
+        w, lo, hi, st, ln = warm[cycle], fmin[cycle], fmax[cycle], fstart[cycle], lengths[cycle]
+        warm_f = (hi - st) / jnp.maximum(w, 1.0) * n + st
+        if linear:
+            decay_f = lo + (hi - lo) * (ln - n) / ln
+        else:
+            t = jnp.minimum((n - w) / jnp.maximum(ln - w, 1.0), 1.0)
+            decay_f = lo + 0.5 * (hi - lo) * (1 + jnp.cos(t * jnp.pi))
+        return jnp.where(n < w, warm_f, decay_f)
+
+    return schedule
+
+
 def warmup_linear_schedule(
     base_lr: float,
     warmup_steps: int,
