@@ -83,8 +83,9 @@ def build(batch_size: int, bf16_params: bool = True, vae_bf16: bool = True):
         return guider(d, sigma)
 
     # VAE decode temps are ~256 MB/sample at 512²; chunk large batches so the
-    # decode stays inside HBM (B=64 unchunked OOMs at 16 GB)
-    decode_chunk = min(b, 16)
+    # decode stays inside HBM (B=64 unchunked OOMs at 16 GB). Chunk must
+    # divide the batch — pick the largest divisor ≤ 16.
+    decode_chunk = max(d for d in range(1, min(b, 16) + 1) if b % d == 0)
 
     @jax.jit
     def sample(rng):

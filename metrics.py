@@ -136,19 +136,25 @@ def calc_fid(
         return None
 
     def features_of(d):
+        # feed NATIVE-resolution images — the extractor resizes internally
+        # with pytorch_fid's exact semantics (bilinear, no antialias); a host
+        # PIL pre-resize would silently change the resampling and break FID
+        # comparability. Batches group consecutive same-shape images (output
+        # dirs are uniform in practice).
         feats = []
-        paths = _load_images(d)
-        for i in range(0, len(paths), batch_size):
-            imgs = np.stack(
-                [
-                    np.asarray(
-                        Image.open(p).convert("RGB").resize((299, 299), Image.BILINEAR),
-                        np.float32,
-                    ) / 255.0
-                    for p in paths[i : i + batch_size]
-                ]
-            )
-            feats.append(np.asarray(feature_fn(imgs)))
+        pending = []
+
+        def flush():
+            if pending:
+                feats.append(np.asarray(feature_fn(np.stack(pending))))
+                pending.clear()
+
+        for p in _load_images(d):
+            arr = np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
+            if pending and (pending[0].shape != arr.shape or len(pending) >= batch_size):
+                flush()
+            pending.append(arr)
+        flush()
         return np.concatenate(feats, axis=0)
 
     mu1, s1 = activation_statistics(features_of(fake_dir))

@@ -130,8 +130,16 @@ def train(cfgs):
 
     lam_cls = float(mp.get("lambda_cls", 0.1))
     lam_pos = float(mp.get("lambda_pos", 0.1))
+    # data axis must divide the batch (same fallback as train.py)
+    bsz = int(cfgs.get("batch_size", 256))
+    n_dev = len(jax.devices())
+    n_data = max(d for d in range(1, n_dev + 1) if bsz % d == 0)
+    if n_data < n_dev:
+        print(f"[mesh] batch_size {bsz} not divisible by {n_dev} devices — "
+              f"using {n_data}-way data parallelism")
     step = make_pretrain_step(model, visual, vparams, opt, lam_cls, lam_pos,
-                              mesh=make_mesh())
+                              mesh=make_mesh(n_data=n_data,
+                                             devices=jax.devices()[:n_data]))
 
     ckpt_dir = str(cfgs.get("ckpt_dir", "./checkpoints/encoders/LabelEncoder"))
     max_epochs = int(cfgs.get("lightning", {}).get("max_epochs", 1000))

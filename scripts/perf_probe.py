@@ -111,7 +111,6 @@ def main():
     from bench import build
 
     sample = build(b)
-    comp = jax.jit(sample.__wrapped__ if hasattr(sample, "__wrapped__") else sample)
     lowered = sample.lower(jax.random.PRNGKey(0)).compile()
     ca = lowered.cost_analysis()
     if ca:

@@ -69,13 +69,23 @@ def train(cfgs):
 
     accum = int(cfgs.get("lightning", {}).get("accumulate_grad_batches", 1))
     # data axis must evenly shard each microbatch; degenerate batches fall
-    # back to fewer devices instead of a divisibility error
+    # back to fewer devices instead of a divisibility error. The fallback is
+    # single-host only: slicing jax.devices() on a multi-host pod would leave
+    # processes outside the mesh — there, require divisibility up front.
     micro_b = int(cfgs.get("batch_size", 1))
     n_dev = len(jax.devices())
-    n_data = max(d for d in range(1, n_dev + 1) if micro_b % d == 0)
-    if n_data < n_dev:
-        print(f"[mesh] batch_size {micro_b} not divisible by {n_dev} devices — "
-              f"using {n_data}-way data parallelism")
+    if jax.process_count() > 1:
+        if micro_b % n_dev != 0:
+            raise ValueError(
+                f"multi-host run: batch_size {micro_b} must be divisible by "
+                f"the global device count {n_dev}"
+            )
+        n_data = n_dev
+    else:
+        n_data = max(d for d in range(1, n_dev + 1) if micro_b % d == 0)
+        if n_data < n_dev:
+            print(f"[mesh] batch_size {micro_b} not divisible by {n_dev} devices "
+                  f"— using {n_data}-way data parallelism")
     mesh = make_mesh(n_data=n_data, devices=jax.devices()[:n_data])
     max_epochs = int(cfgs.get("lightning", {}).get("max_epochs", 100))
     steps_per_epoch = max(len(dataloader) // max(accum, 1), 1)

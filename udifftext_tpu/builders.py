@@ -167,8 +167,9 @@ def build_general_conditioner(
                 )
                 in_ch = int(p.get("in_channels", 1))
 
-                def apply_sr(params, batch, rng, _n=name, _k=input_key or "mask"):
-                    return mod.apply(params["embedders"][_n], batch[_k])
+                def apply_sr(params, batch, rng, _n=name, _k=input_key or "mask",
+                             _mod=mod):
+                    return _mod.apply(params["embedders"][_n], batch[_k])
 
                 def init_sr(rng, _mod=mod, _c=in_ch):
                     return _mod.init(rng, jnp.zeros((1, 16, 16, _c)))
@@ -176,9 +177,11 @@ def build_general_conditioner(
                 specs.append(EmbedderSpec(name, apply_sr, input_key or "mask",
                                           ucg, emb_key, trainable, init_sr))
             else:
+                method = p.get("method", "bilinear")
 
-                def apply_sr(params, batch, rng, _m=mult, _k=input_key or "mask"):
-                    return spatial_rescale(batch[_k], _m)
+                def apply_sr(params, batch, rng, _m=mult, _k=input_key or "mask",
+                             _meth=method):
+                    return spatial_rescale(batch[_k], _m, method=_meth)
 
                 specs.append(EmbedderSpec(name, apply_sr, input_key or "mask",
                                           ucg, emb_key or "concat", trainable))

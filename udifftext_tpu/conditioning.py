@@ -32,10 +32,12 @@ from .models.vae import AutoencoderKL, DiagonalGaussian
 
 Array = jax.Array
 
-# dim → conditioning key routing (reference modules.py:107); 3-d embedders in
-# this fork set emb_key explicitly (t_crossattn / v_crossattn), exactly like
-# the reference YAMLs do
-OUTPUT_DIM2KEYS = {2: "vector", 3: "crossattn", 4: "concat", 5: "concat"}
+# dim → conditioning key routing (reference modules.py:107 maps 3 →
+# "crossattn", but this fork's UNet/guider consume the renamed
+# t_crossattn/v_crossattn keys only — a plain "crossattn" entry would be
+# silently ignored downstream, so the dim-3 default routes to t_crossattn;
+# v_crossattn graphs set emb_key explicitly, like the reference YAMLs do)
+OUTPUT_DIM2KEYS = {2: "vector", 3: "t_crossattn", 4: "concat", 5: "concat"}
 
 
 def spatial_rescale(x: Array, multiplier: float = 0.125, method: str = "bilinear") -> Array:

@@ -43,6 +43,11 @@ class JittedPredictor:
         self.aae_enabled = bool(aae_enabled)
         self.detailed = bool(detailed)
         self.n_compiles = 0
+        # generic embedder graphs read extra array keys (e.g. a
+        # ClassEmbedder's class ids) — keep them in the jitted batch
+        gc = getattr(engine, "general_conditioner", None)
+        extra = tuple(e.input_key for e in gc.embedders) if gc is not None else ()
+        self.array_keys = tuple(dict.fromkeys(ARRAY_KEYS + extra))
 
         def raw(params, arr_batch, rng):
             # runs only while tracing — counts compilations per shape signature
@@ -60,10 +65,9 @@ class JittedPredictor:
 
         self._jitted = jax.jit(raw)
 
-    @staticmethod
-    def array_batch(batch: Dict[str, Any]) -> Dict[str, jax.Array]:
+    def array_batch(self, batch: Dict[str, Any]) -> Dict[str, jax.Array]:
         out = {}
-        for k in ARRAY_KEYS:
+        for k in self.array_keys:
             if k in batch:
                 v = batch[k]
                 if isinstance(v, np.ndarray) and v.dtype == object:
