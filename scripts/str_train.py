@@ -38,6 +38,7 @@ def main():
     from scripts.str_test import load_folder
     from udifftext_tpu.models.parseq import (
         PARSeq, ParseqTokenizer, gen_tgt_perms, parseq_training_loss,
+        perm_attn_masks,
     )
     from udifftext_tpu.parallel.train import TrainState
     from udifftext_tpu.utils.ckpt_orbax import save_checkpoint
@@ -54,12 +55,13 @@ def main():
     opt = optax.chain(optax.clip_by_global_norm(20.0), optax.adamw(sched))
     state = TrainState.create(params, opt)
 
-    def loss_fn(p, images, ids, perms):
-        return parseq_training_loss(model, p, images, ids, perms)
+    def loss_fn(p, images, ids, cms, qms):
+        return parseq_training_loss(model, p, images, ids,
+                                    content_masks=cms, query_masks=qms)
 
     @jax.jit
-    def step(state, images, ids, perms):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, images, ids, perms)
+    def step(state, images, ids, cms, qms):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, images, ids, cms, qms)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return state.replace(step=state.step + 1, params=new_params, opt_state=opt_state), loss
@@ -70,14 +72,15 @@ def main():
         idx = rng.choice(len(items), args.batch)
         imgs, labels = [], []
         for j in idx:
-            path, label = items[j]
-            im = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+            open_fn, label = items[j]
+            im = np.asarray(open_fn().convert("RGB"), np.float32) / 255.0
             imgs.append(cv2.resize(im, (128, 32), interpolation=cv2.INTER_CUBIC))
             labels.append(label)
         images = jnp.asarray((np.stack(imgs) - 0.5) / 0.5)
         ids = jnp.asarray(tok.encode(labels))
         perms = gen_tgt_perms(rng, ids.shape[1] - 2, perm_num=args.perm_num)
-        state, loss = step(state, images, ids, perms)
+        cms, qms = perm_attn_masks(perms)
+        state, loss = step(state, images, ids, jnp.asarray(cms), jnp.asarray(qms))
         if (i + 1) % 20 == 0:
             print(f"step {i+1}/{args.steps} loss {float(loss):.4f} "
                   f"({(time.time()-t0)/20:.2f}s/step)")

@@ -35,6 +35,7 @@ def main():
     from scripts.str_test import load_folder
     from udifftext_tpu.models.parseq import (
         PARSeq, ParseqTokenizer, gen_tgt_perms, parseq_training_loss,
+        perm_attn_masks,
     )
 
     items = load_folder(args.data_root)
@@ -51,9 +52,10 @@ def main():
         params = params0
 
         @jax.jit
-        def step(params, opt_state, images, ids, perms):
+        def step(params, opt_state, images, ids, cms, qms):
             loss, grads = jax.value_and_grad(
-                lambda p: parseq_training_loss(model, p, images, ids, perms)
+                lambda p: parseq_training_loss(model, p, images, ids,
+                                               content_masks=cms, query_masks=qms)
             )(params)
             updates, opt_state = opt.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
@@ -64,14 +66,16 @@ def main():
             idx = rng.choice(len(items), args.batch)
             imgs, labels = [], []
             for j in idx:
-                path, label = items[j]
-                im = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+                open_fn, label = items[j]
+                im = np.asarray(open_fn().convert("RGB"), np.float32) / 255.0
                 imgs.append(cv2.resize(im, (128, 32), interpolation=cv2.INTER_CUBIC))
                 labels.append(label)
             images = jnp.asarray((np.stack(imgs) - 0.5) / 0.5)
             ids = jnp.asarray(tok.encode(labels))
             perms = gen_tgt_perms(rng, ids.shape[1] - 2)
-            params, opt_state, loss = step(params, opt_state, images, ids, perms)
+            cms, qms = perm_attn_masks(perms)
+            params, opt_state, loss = step(params, opt_state, images, ids,
+                                           jnp.asarray(cms), jnp.asarray(qms))
             last = float(loss)
         print(f"lr {lr:.2e}: final loss {last:.4f}")
         results.append((last, lr))

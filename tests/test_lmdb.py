@@ -1,6 +1,7 @@
 """Pure-Python LMDB reader/writer round-trip + the parseq-layout STR dataset
 (strhub/data/dataset.py:31-137 parity without the lmdb C library)."""
 
+import os
 import io
 
 import numpy as np
@@ -108,3 +109,52 @@ def test_str_test_cli_consumes_lmdb(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "| IIIT5k | 2 |" in out.stdout, out.stdout
+
+
+def _cpu_subprocess_env():
+    env = {
+        k: v for k, v in os.environ.items()
+        if not k.startswith(("PALLAS_AXON_", "AXON_")) and not k.startswith("TPU_")
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def test_str_train_cli_on_folder_and_lmdb(tmp_path):
+    """scripts/str_train.py trains 2 steps from both item layouts (the
+    load_folder contract covers folder labels.txt and LMDB dirs)."""
+    import os
+    import subprocess
+    import sys
+
+    # folder layout
+    fd = tmp_path / "folder"
+    fd.mkdir()
+    lines = []
+    for i, label in enumerate(["cat", "dog"]):
+        arr = (np.random.RandomState(i).rand(32, 100, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(fd / f"im{i}.png")
+        lines.append(f"im{i}.png {label}")
+    (fd / "labels.txt").write_text("\n".join(lines) + "\n")
+
+    # lmdb layout
+    ld = str(tmp_path / "lmdb")
+    items = {b"num-samples": b"2"}
+    for i, label in enumerate(["cat", "dog"], start=1):
+        arr = (np.random.RandomState(i).rand(32, 100, 3) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        items[b"image-%09d" % i] = buf.getvalue()
+        items[b"label-%09d" % i] = label.encode()
+    write_lmdb(ld, items)
+
+    for root in (str(fd), ld):
+        out = subprocess.run(
+            [sys.executable, "scripts/str_train.py", "--data_root", root,
+             "--steps", "2", "--batch", "2",
+             "--ckpt_dir", str(tmp_path / "ckpt")],
+            capture_output=True, text=True, env=_cpu_subprocess_env(),
+            cwd="/root/repo", timeout=900,
+        )
+        assert out.returncode == 0, (root, out.stderr[-2000:])
+        assert "step 2/2" in out.stdout or "saved" in out.stdout, out.stdout

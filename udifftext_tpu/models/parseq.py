@@ -403,16 +403,32 @@ def attn_masks_from_perm(perm: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return content_mask, query_mask
 
 
+def perm_attn_masks(perms: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Stacked (content_masks, query_masks) for a batch of permutations —
+    host-side, so a jitted train step can take the masks as plain array
+    arguments (perms themselves must be concrete for mask construction)."""
+    cms, qms = zip(*(attn_masks_from_perm(np.asarray(p)) for p in perms))
+    return np.stack(cms), np.stack(qms)
+
+
 def parseq_training_loss(
     model: "PARSeq",
     params,
     images: Array,
     label_ids: Array,
-    perms: np.ndarray,
+    perms: Optional[np.ndarray] = None,
+    content_masks: Optional[Array] = None,
+    query_masks: Optional[Array] = None,
 ) -> Array:
     """Permuted-AR CE loss (system.py:244-259): average the teacher-forced CE
     over the sampled permutations; EOS targets only count for the first
-    (forward) and second (reverse) orderings."""
+    (forward) and second (reverse) orderings.
+
+    Pass either concrete `perms` (eager use) or precomputed
+    `content_masks`/`query_masks` from perm_attn_masks (jit-friendly: the
+    masks are traced array args, only their static count shapes the loop)."""
+    if content_masks is None or query_masks is None:
+        content_masks, query_masks = perm_attn_masks(np.asarray(perms))
     tok_pad = model.num_tokens - 1
     tok_eos = 0
     tgt_in = label_ids[:, :-1]
@@ -424,8 +440,8 @@ def parseq_training_loss(
     loss_numel = 0.0
     tgt_out = tgt_out0
     n = jnp.sum(tgt_out != tok_pad)
-    for i, perm in enumerate(perms):
-        content_mask, query_mask = attn_masks_from_perm(np.asarray(perm))
+    for i in range(content_masks.shape[0]):
+        content_mask, query_mask = content_masks[i], query_masks[i]
         out = model.apply(
             params, tgt_in, memory,
             jnp.asarray(content_mask), tgt_padding_mask, None, jnp.asarray(query_mask),
