@@ -139,22 +139,17 @@ def calc_fid(
         # feed NATIVE-resolution images — the extractor resizes internally
         # with pytorch_fid's exact semantics (bilinear, no antialias); a host
         # PIL pre-resize would silently change the resampling and break FID
-        # comparability. Batches group consecutive same-shape images (output
-        # dirs are uniform in practice).
-        feats = []
-        pending = []
-
-        def flush():
-            if pending:
-                feats.append(np.asarray(feature_fn(np.stack(pending))))
-                pending.clear()
-
+        # comparability. Images are bucketed by shape up front so mixed-size
+        # dirs still batch fully (and the jitted extractor compiles once per
+        # distinct shape, not once per interleaving).
+        buckets = {}
         for p in _load_images(d):
             arr = np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
-            if pending and (pending[0].shape != arr.shape or len(pending) >= batch_size):
-                flush()
-            pending.append(arr)
-        flush()
+            buckets.setdefault(arr.shape, []).append(arr)
+        feats = []
+        for arrs in buckets.values():
+            for i in range(0, len(arrs), batch_size):
+                feats.append(np.asarray(feature_fn(np.stack(arrs[i : i + batch_size]))))
         return np.concatenate(feats, axis=0)
 
     mu1, s1 = activation_statistics(features_of(fake_dir))

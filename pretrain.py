@@ -9,6 +9,7 @@ char-identity CE + position CE (λ 0.1 each) on randomly rendered strings.
 from __future__ import annotations
 
 import os
+import random
 import time
 
 import jax
@@ -105,7 +106,9 @@ def train(cfgs):
         max_label_len=mp.get("max_len", 12),
     )
 
-    rng = jax.random.PRNGKey(0)
+    # random seed like train.py (reference seed_everything semantics,
+    # pretrain.py has no fixed seed either)
+    rng = jax.random.PRNGKey(random.randint(0, 2**31 - 1))
     k1, k2 = jax.random.split(rng)
     size = dparams.get("size", 224)
     params = model.init(

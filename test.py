@@ -71,20 +71,20 @@ def test(bundle, params, sampler, dataloader, cfgs):
         os.makedirs(ospj(temp_dir, sub), exist_ok=True)
 
     ocr_enabled = bool(cfgs.get("ocr_enabled", False))
-    predictor = pred_params = None
+    ocr_predictor = pred_params = None
     if ocr_enabled:
-        predictor, pred_params = load_predictor(cfgs)
+        ocr_predictor, pred_params = load_predictor(cfgs)
         ocr_enabled = pred_params is not None
     correct_num = total_num = 0
 
-    predictor = make_predictor(cfgs, bundle, sampler)
+    pipeline = make_predictor(cfgs, bundle, sampler)
     rng = jax.random.PRNGKey(random.randint(0, 2**31 - 1))
     for idx, batch in enumerate(dataloader):
         if idx >= int(cfgs.get("max_iter", 100)):
             break
         name = batch["name"][0]
         rng, sub = jax.random.split(rng)
-        results, aux = predict(cfgs, predictor, params, batch, sub)  # (B,H,W,3) [0,1]
+        results, aux = predict(cfgs, pipeline, params, batch, sub)  # (B,H,W,3) [0,1]
 
         if "local_losses" in aux:
             # per-step min-local losses + decoded-intermediate GIF
@@ -116,7 +116,7 @@ def test(bundle, params, sampler, dataloader, cfgs):
                 results[i, t:b, l:r]
                 for i, (t, b, l, r) in enumerate(np.asarray(batch["r_bbox"]))
             ]
-            pred_txt = predictor.img2txt_ragged(pred_params, crops)
+            pred_txt = ocr_predictor.img2txt_ragged(pred_params, crops)
             gt_txt = batch["label"]
             correct = sum(
                 int(p.lower() == g.lower()) for p, g in zip(pred_txt, gt_txt)

@@ -282,3 +282,127 @@ def test_train_py_flow(workspace):
     state2, loss, _ = step(state, numpy_batch_to_device(stacked), jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
     assert int(state2.step) == 1
+
+
+def test_test_py_flow_ocr_enabled(workspace, monkeypatch, capsys):
+    """test.py with ocr_enabled=True: the loaded ParseqPredictor must survive
+    pipeline construction and score the generated bbox crops — the reference
+    runs this metric unconditionally (test.py:74-91,119-120)."""
+    import jax
+    import jax.numpy as jnp
+
+    from udifftext_tpu.config import ConfigNode
+    from udifftext_tpu.data import get_dataloader
+    from udifftext_tpu.models.parseq import PARSeq, ParseqTokenizer
+    from udifftext_tpu.ocr import ParseqPredictor
+    import test as test_script
+    from util import init_model, init_sampling
+
+    pq = PARSeq(max_label_length=7, img_size=(16, 32), patch_size=(4, 8),
+                embed_dim=32, enc_depth=1, enc_num_heads=2, dec_num_heads=2)
+    ocr_predictor = ParseqPredictor(model=pq, tokenizer=ParseqTokenizer())
+    pq_params = pq.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 32, 3)), 1)
+    monkeypatch.setattr(
+        test_script, "load_predictor", lambda cfgs: (ocr_predictor, pq_params)
+    )
+
+    cfgs = ConfigNode.wrap({
+        "model_cfg_path": str(workspace / "model.yaml"),
+        "dataset_cfg_path": str(workspace / "dataset.yaml"),
+        "load_ckpt_path": None,
+        "output_dir": str(workspace / "outputs_ocr"),
+        "temp_dir": str(workspace / "temp_ocr"),
+        "scale": [5.0, 0.0],
+        "noise_iters": 0,
+        "aae_enabled": False,
+        "detailed": False,
+        "bf16": False,
+        "steps": 2,
+        "batch_size": 1,
+        "max_iter": 1,
+        "shuffle": False,
+        "quan_test": False,
+        "ocr_enabled": True,
+    })
+    bundle, params = init_model(cfgs, image_size=32)
+    sampler = init_sampling(cfgs)
+    dataloader = get_dataloader(cfgs, "val")
+    test_script.test(bundle, params, sampler, dataloader, cfgs)
+    out = capsys.readouterr().out
+    assert "OCR Result:" in out
+    assert "OCR test completed. Mean accuracy:" in out
+
+
+def test_train_step_ocr_loss(workspace):
+    """ocr_enabled=True training: the decode→bbox-crop→clamped-CE OCR loss
+    term participates in the jitted train step (engine.py loss path; reference
+    loss.py:151-152,178-190)."""
+    import dataclasses
+
+    import yaml
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from udifftext_tpu.config import ConfigNode
+    from udifftext_tpu.data import get_dataloader
+    from udifftext_tpu.models.parseq import PARSeq, ParseqTokenizer
+    from udifftext_tpu.ocr import ParseqPredictor
+    from udifftext_tpu.parallel.mesh import make_mesh
+    from udifftext_tpu.parallel.train import TrainState, make_optimizer, make_train_step
+    from util import init_model, numpy_batch_to_device
+    import train as train_script
+
+    graph = yaml.safe_load(TINY_MODEL_YAML)
+    loss_p = graph["model"]["params"]["loss_fn_config"]["params"]
+    loss_p["ocr_enabled"] = True
+    loss_p["lambda_ocr_loss"] = 0.001
+    loss_p["predictor_config"] = {
+        "target": "sgm.modules.predictors.model.ParseqPredictor",
+        "params": {"ckpt_path": "/nonexistent/parseq-bb5792a6.pt"},
+    }
+    path = workspace / "model_ocr.yaml"
+    path.write_text(yaml.safe_dump(graph))
+
+    cfgs = ConfigNode.wrap({
+        "model_cfg_path": str(path),
+        "dataset_cfg_path": str(workspace / "dataset.yaml"),
+        "load_ckpt_path": None,
+        "batch_size": 1,
+        "shuffle": False,
+        "bf16": False,
+    })
+    bundle, params = init_model(cfgs, image_size=32)
+    engine = bundle.engine
+    assert engine.loss_cfg.ocr_enabled and engine.ocr_predictor is not None
+    assert bundle.ckpt_paths["parseq"] == "/nonexistent/parseq-bb5792a6.pt"
+
+    # tiny recognizer (full pos-query length so the loader's 25-char
+    # parseq_label_ids fit) for CPU speed
+    tok = ParseqTokenizer()
+    pq = PARSeq(max_label_length=25, img_size=(16, 32), patch_size=(4, 8),
+                embed_dim=32, enc_depth=1, enc_num_heads=2, dec_num_heads=2)
+    engine = dataclasses.replace(
+        engine, ocr_predictor=ParseqPredictor(model=pq, tokenizer=tok)
+    )
+    params["parseq"] = pq.init(jax.random.PRNGKey(3), jnp.zeros((1, 16, 32, 3)), 1)
+
+    loader = get_dataloader(cfgs, "train")
+    batch = next(iter(loader))
+    assert "parseq_label_ids" in batch  # collate() tokenizes for the OCR loss
+    b, h, w, _ = batch["image"].shape
+    batch["seg"] = np.zeros((b, h, w, 12), np.float32)
+
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    opt = make_optimizer(params, base_lr=1e-4, opt_keys=bundle.opt_keys,
+                         steps_per_epoch=1)
+    step = make_train_step(engine.loss, opt, accum_steps=1, mesh=mesh, donate=False)
+    state = TrainState.create(params, opt)
+    stacked = {k: batch[k] for k in train_script.BATCH_KEYS if k in batch}
+    state2, loss, loss_dict = step(
+        state, numpy_batch_to_device(stacked), jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(float(loss))
+    assert "loss/ocr_loss" in loss_dict
+    o = float(loss_dict["loss/ocr_loss"])
+    assert np.isfinite(o) and 0.0 <= o <= 1.0 + 1e-6

@@ -158,3 +158,62 @@ def test_str_train_cli_on_folder_and_lmdb(tmp_path):
         )
         assert out.returncode == 0, (root, out.stderr[-2000:])
         assert "step 2/2" in out.stdout or "saved" in out.stdout, out.stdout
+
+
+def test_lmdb_str_dataset_charset_adapter(tmp_path):
+    """Label preprocessing mirrors strhub CharsetAdapter + dataset.py:84-106:
+    mixed-case labels are case-folded (not dropped) for single-case charsets,
+    unicode is NFKD-normalized, and unsupported chars are stripped."""
+    d = str(tmp_path / "db")
+    labels = ["CaT", "Dog!", "café", "123", "...."]
+    items = {b"num-samples": str(len(labels)).encode()}
+    for i, label in enumerate(labels, start=1):
+        arr = (np.random.RandomState(i).rand(16, 48, 3) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        items[b"image-%09d" % i] = buf.getvalue()
+        items[b"label-%09d" % i] = label.encode()
+    write_lmdb(d, items)
+
+    lower36 = "0123456789abcdefghijklmnopqrstuvwxyz"
+    ds = LmdbStrDataset(d, charset=lower36)
+    # CaT → cat; Dog! → dog; café → cafe (NFKD é → e); 123 kept; "...." → ""
+    assert ds.labels == ["cat", "dog", "cafe", "123"]
+
+    upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    ds_up = LmdbStrDataset(d, charset=upper)
+    assert ds_up.labels == ["CAT", "DOG", "CAFE"]
+
+
+def test_str_create_lmdb_script(tmp_path):
+    """scripts/str_create_lmdb.py (tools/create_lmdb_dataset.py parity):
+    folder + gt file → LMDB that LmdbStrDataset consumes."""
+    import subprocess
+    import sys
+
+    src = tmp_path / "raw"
+    src.mkdir()
+    lines = []
+    for i, label in enumerate(["hello", "world"]):
+        arr = (np.random.RandomState(i).rand(20, 60, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(src / f"img{i}.png")
+        lines.append(f"img{i}.png {label}")
+    # one bogus entry that must be skipped by the validity check
+    (src / "broken.png").write_bytes(b"not an image")
+    lines.append("broken.png junk")
+    (src / "labels.txt").write_text("\n".join(lines) + "\n")
+
+    out_dir = str(tmp_path / "lmdb_out")
+    proc = subprocess.run(
+        [sys.executable, "scripts/str_create_lmdb.py",
+         "--input", str(src), "--output", out_dir],
+        capture_output=True, text=True, env=_cpu_subprocess_env(),
+        cwd="/root/repo", timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "2 samples" in proc.stdout
+
+    ds = LmdbStrDataset(out_dir)
+    assert ds.labels == ["hello", "world"]
+    img, label = ds[0]
+    assert img.size == (60, 20) and label == "hello"

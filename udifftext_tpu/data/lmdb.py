@@ -70,9 +70,10 @@ class LMDBReader:
 
     # -- meta ---------------------------------------------------------------
 
-    def _read_meta(self, pgno: int) -> Optional[Dict]:
-        off = pgno * 4096  # meta pages are written before psize is known;
-        # both candidate psizes (4096 default) start at these offsets
+    def _read_meta(self, off: int) -> Optional[Dict]:
+        """Parse a meta page at byte offset `off`; None if invalid."""
+        if off + PAGEHDRSZ + _META_HEAD.size + 2 * _DB.size + 16 > len(self._mm):
+            return None
         hdr = _PGHDR.unpack_from(self._mm, off)
         if not hdr[2] & P_META:
             return None
@@ -92,9 +93,25 @@ class LMDBReader:
         }
 
     def _pick_meta(self) -> Dict:
-        metas = [m for m in (self._read_meta(0), self._read_meta(1)) if m]
+        # Meta 0 is at offset 0; meta 1 at offset psize, which meta 0's
+        # mm_dbs[0].md_pad records. If meta 0 is unreadable, probe the
+        # common OS page sizes for meta 1.
+        m0 = self._read_meta(0)
+        psizes = [m0["psize"]] if m0 else [4096, 8192, 16384, 32768, 65536]
+        metas = [m0] if m0 else []
+        for ps in dict.fromkeys(psizes):
+            m1 = self._read_meta(ps)
+            if m1:
+                metas.append(m1)
+                break
         if not metas:
             raise ValueError(f"{self.path}: not an LMDB data file")
+        if m0 and len(metas) == 1 and m0["last_pg"] > 1:
+            # a live DB always has both metas; meta 1 not parsing at the
+            # psize meta 0 declares means a layout we'd silently misread
+            raise ValueError(
+                f"{self.path}: meta page 1 invalid at offset {m0['psize']}"
+            )
         return max(metas, key=lambda m: m["txnid"])
 
     # -- pages --------------------------------------------------------------
@@ -363,24 +380,38 @@ class LmdbStrDataset:
     bytes), b'label-%09d' (utf-8 text); indices are 1-based."""
 
     def __init__(self, path: str, max_label_len: int = 25,
-                 charset: Optional[str] = None, remove_whitespace: bool = True):
-        import re
+                 charset: Optional[str] = None, remove_whitespace: bool = True,
+                 normalize_unicode: bool = True):
+        import unicodedata
 
+        from ..str_eval import CharsetAdapter
+
+        # label preprocessing mirrors strhub/data/dataset.py:84-106 — case
+        # folding for single-case charsets, NFKD→ascii normalization, and
+        # stripping (not dropping) unsupported characters
+        adapter = CharsetAdapter(charset) if charset is not None else None
         self.db = LMDBReader(path)
         n = int(self.db.get(b"num-samples") or b"0")
         self.filtered: List[int] = []
         self.labels: List[str] = []
-        ws = re.compile(r"\s+")
         for i in range(1, n + 1):
             raw = self.db.get(b"label-%09d" % i)
             if raw is None:
                 continue
             label = raw.decode("utf-8", "ignore")
             if remove_whitespace:
-                label = ws.sub("", label)
-            if not label or len(label) > max_label_len:
+                label = "".join(label.split())
+            if normalize_unicode:
+                label = unicodedata.normalize("NFKD", label).encode(
+                    "ascii", "ignore"
+                ).decode()
+            # length filter BEFORE charset adaptation (the original label
+            # might be too long, dataset.py:100-101)
+            if len(label) > max_label_len:
                 continue
-            if charset is not None and any(c not in charset for c in label):
+            if adapter is not None:
+                label = adapter(label)
+            if not label:
                 continue
             self.filtered.append(i)
             self.labels.append(label)

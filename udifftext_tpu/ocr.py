@@ -14,6 +14,8 @@ resample) so the OCR loss stays inside the compiled training step.
 from __future__ import annotations
 
 import dataclasses
+import functools
+import inspect
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -23,6 +25,11 @@ import numpy as np
 from .models.parseq import PARSeq, ParseqTokenizer
 
 Array = jax.Array
+
+
+@functools.lru_cache(maxsize=None)
+def _accepts_refine_iters(model_cls) -> bool:
+    return "refine_iters" in inspect.signature(model_cls.__call__).parameters
 
 
 def crop_resize_bbox(
@@ -66,10 +73,12 @@ class ParseqPredictor:
 
     def read_logits(self, params, crops: Array, refine_iters: int = 1) -> Array:
         x = self.preprocess(crops)
-        try:
+        # CTC-style hub models (CRNN) take no refine arg; detect by signature
+        # rather than catching TypeError, which would mask genuine errors from
+        # inside the forward pass
+        if _accepts_refine_iters(type(self.model)):
             return self.model.apply(params, x, refine_iters)
-        except TypeError:  # CTC-style hub models (CRNN) take no refine arg
-            return self.model.apply(params, x)
+        return self.model.apply(params, x)
 
     def img2txt(self, params, crops: Array) -> List[str]:
         """crops already resized to (B, 32, 128, 3), [0, 1] range."""
