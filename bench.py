@@ -143,7 +143,9 @@ def build_test_parity(batch_size: int):
 
 
 def main():
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    # default = the best-known honest config on this chip (B=64 saturates the
+    # MXU; the chunked VAE decode keeps it inside HBM — ROOFLINE.md)
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     mode = sys.argv[2] if len(sys.argv) > 2 else ""
     if mode == "test_parity":
         sample = build_test_parity(batch_size)

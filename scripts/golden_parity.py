@@ -17,8 +17,10 @@ Deterministic comparison protocol (SURVEY §7 "hard parts" — the RNG story):
   - The init latent is a SHARED numpy randn (seed --seed), scaled by
     sqrt(1+sigma_0^2) exactly as sampling.py:54 does.
   - Init-noise search and AAE are off; plain 50-step (or --steps) Euler-EDM
-    with CFG scale 5.0 — the reference test.py flow minus its stochastic
-    extras.
+    with the YAML's CFG scale — the reference test.py flow minus its
+    stochastic extras. The torch side drives the reference's OWN
+    DiscreteDenoiser/EulerEDMSampler/VanillaCFG classes (instantiated from
+    the model graph), not a re-stated loop.
   - Everything fp32; the JAX side runs on CPU by default (set
     JAX_PLATFORMS=tpu to measure TPU-vs-torch numerics instead).
 
@@ -85,11 +87,35 @@ def build_torch_side(model_cfg, sd):
     return unet, vae, le
 
 
-def torch_sample(unet, vae, le, batch, x0_np, sigmas_np, table_np, scale=5.0):
-    """Euler-EDM CFG loop through the torch modules (the reference's
-    denoiser/sampler math re-stated; see denoiser.py:31-63, sampling.py
-    :218-262), deterministic mode-encode."""
+def build_torch_sampler(model_cfg, unet, steps):
+    """The reference's OWN DiscreteDenoiser + EulerEDMSampler + VanillaCFG,
+    instantiated from the model graph through sgm.util.instantiate_from_config
+    (denoiser.py:31-63, sampling.py:218-420, guiders.py:8-40) — not a
+    re-statement. Returns the `model` namespace the sampler's denoise()
+    dereferences (`model.denoiser(model.model, ...)`, sampling.py:61-64)."""
+    from types import SimpleNamespace
+
+    from sgm.modules.diffusionmodules.wrappers import OpenAIWrapper
+    from sgm.util import get_obj_from_str, instantiate_from_config
+
+    p = model_cfg["model"]["params"]
+    denoiser = instantiate_from_config(p["denoiser_config"])
+    samp_cfg = p["sampler_config"]
+    sp = dict(samp_cfg.get("params", {}) or {})
+    sp["num_steps"] = steps
+    sp["device"] = "cpu"
+    sampler = get_obj_from_str(samp_cfg["target"])(**sp)
+    model = SimpleNamespace(denoiser=denoiser, model=OpenAIWrapper(unet))
+    return model, sampler
+
+
+def torch_sample(unet, vae, le, batch, x0_np, model_cfg, steps):
+    """Reference-code sampling: conditioner outputs assembled per the
+    deterministic protocol (mode-encode), then the reference's real
+    EulerEDMSampler drives the real DiscreteDenoiser over the real UNet."""
     import torch
+
+    model, sampler = build_torch_sampler(model_cfg, unet, steps)
 
     with torch.no_grad():
         t = lambda a: torch.as_tensor(np.asarray(a), dtype=torch.float32)
@@ -110,30 +136,17 @@ def torch_sample(unet, vae, le, batch, x0_np, sigmas_np, table_np, scale=5.0):
 
         ids = t(batch["label_ids"]).long()
         ctx = le.get_embeddings(ids)  # same char ids as the JAX side
-        uc_ctx = torch.zeros_like(ctx)
+        cond = {"concat": concat, "t_crossattn": ctx}
+        uc = {"concat": concat, "t_crossattn": torch.zeros_like(ctx)}
 
-        table = t(table_np)
-        x = t(x0_np).permute(0, 3, 1, 2) * float(np.sqrt(1.0 + sigmas_np[0] ** 2))
-        b = x.shape[0]
-        for i in range(len(sigmas_np) - 1):
-            sigma = float(sigmas_np[i])
-            idx = int(np.argmin(np.abs(table_np - sigma)))
-            sig = table[idx]
-            c_in = 1.0 / torch.sqrt(sig**2 + 1.0)
-            c_noise = torch.full((2 * b,), float(idx), dtype=torch.float32)
-            x2 = torch.cat([x, x], 0)
-            cc = torch.cat([concat, concat], 0)
-            tc = torch.cat([uc_ctx, ctx], 0)
-            out = unet(torch.cat([x2 * c_in, cc], dim=1), c_noise, t_context=tc)
-            denoised = out * (-sig) + x2  # eps scaling: c_out=-sigma, c_skip=1
-            d_u, d_c = denoised.chunk(2)
-            denoised = d_u + scale * (d_c - d_u)
-            d = (x - denoised) / sig
-            x = x + (float(sigmas_np[i + 1]) - sig) * d
+        # raw randn: prepare_sampling_loop applies the sqrt(1+sigma_0^2)
+        # scaling itself (sampling.py:54)
+        x0 = t(x0_np).permute(0, 3, 1, 2)
+        z = sampler(model, x0, cond, batch={"name": ["golden"]}, uc=uc)
 
-        img = vae.decode(x / 0.18215)
+        img = vae.decode(z / 0.18215)
         img = torch.clamp((img + 1.0) / 2.0, 0.0, 1.0)
-    return x.permute(0, 2, 3, 1).numpy(), img.permute(0, 2, 3, 1).numpy()
+    return z.permute(0, 2, 3, 1).numpy(), img.permute(0, 2, 3, 1).numpy()
 
 
 def jax_sample(cfgs, batch, x0_np, num_steps, scale=5.0):
@@ -214,16 +227,14 @@ def main():
         "bf16": False,
     })
 
-    from udifftext_tpu.diffusion.schedules import LegacyDDPMDiscretization
+    guider_p = (model_cfg["model"]["params"]["sampler_config"]["params"]
+                .get("guider_config", {}) or {}).get("params", {}) or {}
+    scale = float(guider_p.get("scale", 5.0))
 
-    disc = LegacyDDPMDiscretization()
-    sigmas_np = np.asarray(disc(steps, do_append_zero=True))
-    table_np = np.asarray(disc(1000, do_append_zero=False, flip=True))
-
-    print(f"config {args.config}: {steps} steps, seed {args.seed}")
-    z_j, img_j = jax_sample(cfgs, batch, x0, steps)
+    print(f"config {args.config}: {steps} steps, seed {args.seed}, cfg {scale}")
+    z_j, img_j = jax_sample(cfgs, batch, x0, steps, scale=scale)
     unet, vae, le = build_torch_side(model_cfg, sd)
-    z_t, img_t = torch_sample(unet, vae, le, batch, x0, sigmas_np, table_np)
+    z_t, img_t = torch_sample(unet, vae, le, batch, x0, model_cfg, steps)
 
     lat_diff = np.abs(z_j - z_t)
     img_diff = np.abs(img_j - img_t)

@@ -44,7 +44,14 @@ def load_predictor(cfgs):
 def make_predictor(cfgs, bundle, sampler) -> JittedPredictor:
     """One compiled pipeline (conditioner → noise search → sampler scan →
     decode) reused across batches — reference test.py:19-40 as a single
-    XLA program."""
+    XLA program. With eval_data_parallel, the batch is sharded over a
+    `data` mesh spanning all local devices (the reference is single-GPU
+    here; this is the TPU-slice extension)."""
+    mesh = None
+    if bool(cfgs.get("eval_data_parallel", False)) and len(jax.devices()) > 1:
+        from udifftext_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     return JittedPredictor(
         bundle.engine,
         num_steps=sampler.num_steps,
@@ -52,6 +59,7 @@ def make_predictor(cfgs, bundle, sampler) -> JittedPredictor:
         noise_iters=int(cfgs.get("noise_iters", 10)),
         aae_enabled=bool(cfgs.get("aae_enabled", False)),
         detailed=bool(cfgs.get("detailed", False)),
+        mesh=mesh,
     )
 
 

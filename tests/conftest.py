@@ -17,4 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env var alone is not enough where a site customization (e.g. the axon
+# TPU-tunnel plugin) forces jax_platforms via jax.config.update at interpreter
+# startup — re-force CPU at the config level before any backend initializes,
+# or the whole suite silently runs over the device tunnel (1 real device, so
+# the 8-device mesh tests break; 150-300 ms per dispatch).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

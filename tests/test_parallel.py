@@ -259,3 +259,53 @@ def test_warmup_cosine_cycles_schedule():
 
     for n in (0, 5, 10, 50, 99, 101, 104, 120, 149):
         np.testing.assert_allclose(float(sched(n)), ref(n), rtol=1e-5, atol=1e-6)
+
+
+def test_loader_process_sharding():
+    """Multi-host data loading: same-seed loaders with distinct process_index
+    read disjoint strided shards that jointly cover the epoch."""
+    import numpy as np
+
+    from udifftext_tpu.data.loader import DataLoader
+
+    dataset = [{"idx": np.asarray(i), "label": "ab"} for i in range(20)]
+    seen = {}
+    for pidx in (0, 1):
+        dl = DataLoader(dataset, batch_size=2, shuffle=True, seed=7,
+                        prefetch=0, process_index=pidx, process_count=2)
+        assert len(dl) == 5
+        idxs = []
+        for batch in dl:
+            assert batch["idx"].shape == (2,)
+            idxs.extend(int(i) for i in batch["idx"])
+        seen[pidx] = set(idxs)
+    assert len(seen[0]) == 10 and len(seen[1]) == 10
+    assert seen[0].isdisjoint(seen[1])
+    assert seen[0] | seen[1] == set(range(20))
+
+
+def test_make_global_batch_shards_over_data_axis():
+    """make_global_batch assembles process-local numpy into global jax.Arrays
+    sharded P('data') (multi-host path; on one process local data IS global)."""
+    import jax
+    import numpy as np
+
+    from udifftext_tpu.parallel.mesh import make_mesh
+    from udifftext_tpu.parallel.multihost import make_global_batch
+
+    mesh = make_mesh(n_data=4, n_tensor=2, devices=jax.devices()[:8])
+    batch = {
+        "image": np.arange(8 * 4 * 4 * 3, dtype=np.float32).reshape(8, 4, 4, 3),
+        "label_ids": np.ones((8, 12), np.int32),
+        "label": ["ab"] * 8,
+    }
+    out = make_global_batch(batch, mesh)
+    assert out["label"] == ["ab"] * 8  # non-array passthrough
+    img = out["image"]
+    assert isinstance(img, jax.Array) and img.shape == (8, 4, 4, 3)
+    spec = img.sharding.spec
+    assert tuple(spec)[:1] == ("data",)
+    np.testing.assert_array_equal(np.asarray(img), batch["image"])
+    # each data shard owns 2 consecutive batch rows
+    shard_shapes = {s.data.shape for s in img.addressable_shards}
+    assert shard_shapes == {(2, 4, 4, 3)}

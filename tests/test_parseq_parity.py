@@ -163,3 +163,73 @@ def test_vitstr_feature_parity(torch_ref):
         jmodel.apply({"params": conv["params"]}, jnp.asarray(x.transpose(0, 2, 3, 1)))
     )
     np.testing.assert_allclose(jout, tout, rtol=2e-3, atol=2e-4)
+
+
+def test_ocr_calc_loss_parity(torch_ref):
+    """ocr.py::ParseqPredictor.calc_loss vs the reference's REAL
+    ParseqPredictor.calc_loss (predictors/model.py:40-57): full free-running
+    decode logits, CE at positions [0, n_chars) vs gt chars, clamped at 1.0."""
+    torch = torch_ref
+    import jax.numpy as jnp
+
+    from sgm.modules.predictors.model import ParseqPredictor as TorchPredictor
+    from udifftext_tpu.models.parseq import PARSeq, ParseqTokenizer
+    from udifftext_tpu.ocr import ParseqPredictor
+    from udifftext_tpu.utils.ckpt_torch import convert_parseq
+
+    tmodel = _torch_parseq(torch)
+    # sharpen the head so the model is confident in its own greedy decode —
+    # otherwise every CE is ~log(95) and the 1.0 clamp makes parity trivial
+    with torch.no_grad():
+        tmodel.head.weight *= 40.0
+        tmodel.head.bias *= 40.0
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    conv = convert_parseq(sd)
+
+    # reference predictor instance without its ckpt-loading __init__; the
+    # torchvision stubs no-op Resize/Normalize, so install the real
+    # Normalize(0.5, 0.5) (crops are fed pre-resized to img_size)
+    tp = TorchPredictor.__new__(TorchPredictor)
+    torch.nn.Module.__init__(tp)
+    tp.parseq = tmodel
+    tp.parseq_transform = lambda t: (t - 0.5) / 0.5
+
+    rng = np.random.RandomState(11)
+    crops01 = rng.rand(3, 16, 32, 3).astype(np.float32)
+    tcrops = [torch.from_numpy(c.transpose(2, 0, 1)) for c in crops01]
+
+    # labels = the model's own greedy reads → confident → CE below the clamp
+    with torch.no_grad():
+        labels, _ = tmodel.tokenizer.decode(tp(tcrops).softmax(-1))
+    assert any(labels), labels
+    # the tokenizer buffer fits max_label_length chars; a never-EOS greedy
+    # read yields max_label_length+1
+    labels = [l[: TINY["max_label_length"]] if l else "x" for l in labels]
+
+    with torch.no_grad():
+        tloss = tp.calc_loss(tcrops, labels).numpy()
+    assert (tloss < 1.0).any(), tloss  # non-trivial comparison
+
+    jp = ParseqPredictor(model=PARSeq(**TINY), tokenizer=ParseqTokenizer())
+    bbox = jnp.asarray([[0, 16, 0, 32]] * 3)  # full-image crop (identity)
+    ids = jp.tokenizer.encode(labels, max_length=TINY["max_label_length"])
+    jloss = np.asarray(
+        jp.calc_loss(
+            {"params": conv["params"]}, jnp.asarray(crops01), bbox,
+            jnp.asarray(ids),
+        )
+    )
+    np.testing.assert_allclose(jloss, tloss, rtol=5e-3, atol=2e-3)
+
+    # clamp behavior: random labels push CE past 1.0 on both sides
+    rand_labels = ["qq", "zz", "kk"]
+    with torch.no_grad():
+        tloss_r = tp.calc_loss(tcrops, rand_labels).numpy()
+    ids_r = jp.tokenizer.encode(rand_labels, max_length=TINY["max_label_length"])
+    jloss_r = np.asarray(
+        jp.calc_loss(
+            {"params": conv["params"]}, jnp.asarray(crops01), bbox,
+            jnp.asarray(ids_r),
+        )
+    )
+    np.testing.assert_allclose(jloss_r, tloss_r, rtol=5e-3, atol=2e-3)

@@ -20,11 +20,12 @@ import numpy as np
 from udifftext_tpu.config import load_config
 from udifftext_tpu.data import get_dataloader
 from udifftext_tpu.parallel.mesh import make_mesh
+from udifftext_tpu.parallel.multihost import make_global_batch
 from udifftext_tpu.parallel.train import TrainState, make_optimizer, make_train_step
 from udifftext_tpu.utils.ckpt_orbax import latest_checkpoint, restore_checkpoint, save_checkpoint
 from udifftext_tpu.utils.logger import MetricsLogger
 from udifftext_tpu.utils.profiling import SimpleProfiler
-from util import init_model, numpy_batch_to_device
+from util import init_model
 
 
 def maybe_init_distributed():
@@ -133,7 +134,10 @@ def train(cfgs):
                 }
                 micro_accum = []
                 with profiler.profile("host_to_device"):
-                    dev_batch = numpy_batch_to_device(stacked)
+                    # single-host: plain device_put; multi-host: each
+                    # process contributes its loader shard to the global
+                    # array (jax.make_array_from_process_local_data)
+                    dev_batch = make_global_batch(stacked, mesh)
                 rng, sub = jax.random.split(rng)
                 with profiler.profile("train_step"):
                     state, loss, aux = step_fn(state, dev_batch, sub)

@@ -64,6 +64,8 @@ class DataLoader:
         max_label_len: int = 12,
         prefetch: int = 2,
         seed: Optional[int] = None,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -71,11 +73,23 @@ class DataLoader:
         self.drop_last = drop_last
         self.max_label_len = max_label_len
         self.prefetch = prefetch
+        # Multi-host sharding: every process builds the SAME global order
+        # (shared seed) and reads its strided shard — so per-process batches
+        # are disjoint and jointly cover the epoch. seed must agree across
+        # processes when process_count > 1.
+        self.process_index = int(process_index)
+        self.process_count = int(process_count)
+        if process_count > 1 and seed is None:
+            seed = 0
         self.rng = np.random.RandomState(seed)
 
+    def _shard_len(self) -> int:
+        n, r = divmod(len(self.dataset), self.process_count)
+        return n + (1 if self.process_index < r else 0)
+
     def __len__(self):
-        n = len(self.dataset) // self.batch_size
-        if not self.drop_last and len(self.dataset) % self.batch_size:
+        n = self._shard_len() // self.batch_size
+        if not self.drop_last and self._shard_len() % self.batch_size:
             n += 1
         return n
 
@@ -83,6 +97,7 @@ class DataLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
+        order = order[self.process_index :: self.process_count]
         for i in range(0, len(order), self.batch_size):
             idx = order[i : i + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
@@ -125,9 +140,26 @@ def get_dataloader(cfgs, datype: str = "train") -> DataLoader:
         dataset = cls(**params)
     else:
         dataset = cls(params, datype=datype)
+
+    import jax
+
+    pcount = jax.process_count()
+    batch_size = int(cfgs.get("batch_size", 1))
+    if pcount > 1:
+        # batch_size stays the GLOBAL microbatch (the single-host
+        # convention); each process loads its slice of it
+        if batch_size % pcount != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must be divisible by the process "
+                f"count {pcount}"
+            )
+        batch_size //= pcount
     return DataLoader(
         dataset,
-        batch_size=cfgs.get("batch_size", 1),
+        batch_size=batch_size,
         shuffle=cfgs.get("shuffle", True),
         max_label_len=params.get("seq_len", params.get("max_len", 12)),
+        seed=int(cfgs.get("data_seed", 0)) if pcount > 1 else None,
+        process_index=jax.process_index(),
+        process_count=pcount,
     )

@@ -16,6 +16,7 @@ reference but unused by the shipped configs (SURVEY.md §2 #13):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
@@ -249,3 +250,88 @@ def load_frozen_t5_embedder(version: str = "google/t5-v1_1-xxl", max_length: int
         return model(input_ids=tokens["input_ids"]).last_hidden_state
 
     return embed
+
+
+OPEN_CLIP_WEIGHTS = os.environ.get(
+    "UDIFFTEXT_OPEN_CLIP_WEIGHTS", "./checkpoints/clip/open_clip_pytorch_model.bin"
+)
+
+
+def _open_clip_params(weights_path: Optional[str], tower: str):
+    import jax as _jax
+
+    from .utils import ckpt_torch as CT
+
+    path = weights_path or OPEN_CLIP_WEIGHTS
+    if not os.path.exists(path):
+        raise RuntimeError(
+            f"open_clip weights not found at {path} — place an open_clip "
+            "state dict (e.g. ViT-H-14 laion2b_s32b_b79k) there or set "
+            "UDIFFTEXT_OPEN_CLIP_WEIGHTS"
+        )
+    conv = CT.convert_open_clip(CT.load_torch_state_dict(path))
+    params = conv["params"][tower]
+    if not params:
+        raise RuntimeError(f"{path} carries no {tower} tower")
+    return {"params": _jax.tree.map(jnp.asarray, params)}
+
+
+def load_frozen_open_clip_text_embedder(
+    max_length: int = 77,
+    layer: str = "last",
+    legacy: bool = True,
+    always_return_pooled: bool = False,
+    weights_path: Optional[str] = None,
+    bpe_path: Optional[str] = None,
+    **tower_kwargs,
+):
+    """FrozenOpenCLIPEmbedder / FrozenOpenCLIPEmbedder2 (reference
+    modules.py:436-609) on the native flax tower (models/open_clip.py),
+    weight-gated like the CLIP/T5 loaders above."""
+    from .models.open_clip import (
+        FrozenOpenCLIPTextEmbedder,
+        OpenClipTextTransformer,
+        SimpleTokenizer,
+    )
+
+    tokenizer = None
+    try:
+        tokenizer = SimpleTokenizer(bpe_path, context_length=max_length)
+    except FileNotFoundError:
+        pass  # ids-only operation stays available
+    return FrozenOpenCLIPTextEmbedder(
+        model=OpenClipTextTransformer(**tower_kwargs),
+        max_length=max_length,
+        layer=layer,
+        legacy=legacy,
+        always_return_pooled=always_return_pooled,
+        params=_open_clip_params(weights_path, "text"),
+        tokenizer=tokenizer,
+    )
+
+
+def load_frozen_open_clip_image_embedder(
+    antialias: bool = True,
+    max_length: int = 77,
+    unsqueeze_dim: bool = False,
+    repeat_to_max_len: bool = False,
+    output_tokens: bool = False,
+    weights_path: Optional[str] = None,
+    **tower_kwargs,
+):
+    """FrozenOpenCLIPImageEmbedder (reference modules.py:612-769) on the
+    native flax vision tower, weight-gated."""
+    from .models.open_clip import (
+        FrozenOpenCLIPImageEmbedder,
+        OpenClipVisionTransformer,
+    )
+
+    return FrozenOpenCLIPImageEmbedder(
+        model=OpenClipVisionTransformer(**tower_kwargs),
+        antialias=antialias,
+        max_length=max_length,
+        unsqueeze_dim=unsqueeze_dim,
+        repeat_to_max_len=repeat_to_max_len,
+        output_tokens=output_tokens,
+        params=_open_clip_params(weights_path, "visual"),
+    )

@@ -106,28 +106,33 @@ class ParseqPredictor:
         images: Array,
         r_bbox: Array,
         label_ids: Array,
+        refine_iters: int = 1,
     ) -> Array:
         """Per-sample clamped CE (reference calc_loss :40-57), jit-friendly.
 
         images (B, H, W, 3); r_bbox (B, 4); label_ids (B, L) from
         `tokenizer.encode` ([BOS, chars, EOS, PAD...]).
+
+        Reference semantics: the predictor's FULL forward (`self(x)` —
+        AR greedy decode + cloze refinement, model.py:26-31,42) produces the
+        logits; CE is taken at positions [0, n_chars) against the GT chars
+        (gt_id[1:eos] vs pred[:eos-1], :48-53), averaged per sample and
+        clamped at 1.0. Gradients flow to the image through the frozen
+        recognizer's encode/decode; the greedy ids are non-differentiable
+        constants on both sides.
         """
         # parity: the reference feeds the raw decoded output (no clamp) to the
         # predictor transform during training (loss.py:178-190)
         crops = jax.vmap(lambda im, bb: crop_resize_bbox(im, bb, self.img_hw))(images, r_bbox)
-        x = self.preprocess(crops)
+        logits = self.read_logits(params, crops, refine_iters)  # (B, S, C)
 
-        tgt_in = label_ids[:, :-1]
-        tgt_out = label_ids[:, 1:]
-        logits = self.model.apply(params, x, tgt_in, method=PARSeq.forward_logits)
-
-        # chars only: stop before EOS (reference excludes the EOS position)
-        is_char = jnp.logical_and(
-            tgt_out != self.tokenizer.eos_id, tgt_out != self.tokenizer.pad_id
-        )
-        is_char = jnp.logical_and(is_char, tgt_out != self.tokenizer.bos_id)
+        tgt = label_ids[:, 1:]  # drop BOS → [chars..., EOS, PAD...]
+        n = min(tgt.shape[1], logits.shape[1])
+        tgt, logits = tgt[:, :n], logits[:, :n]
+        # positions strictly before the first EOS are the scored chars
+        is_char = jnp.cumsum((tgt == self.tokenizer.eos_id).astype(jnp.int32), axis=-1) == 0
         logp = jax.nn.log_softmax(logits, axis=-1)
-        tgt_idx = jnp.clip(tgt_out, 0, logits.shape[-1] - 1)
+        tgt_idx = jnp.clip(tgt, 0, logits.shape[-1] - 1)
         nll = -jnp.take_along_axis(logp, tgt_idx[..., None], axis=-1)[..., 0]
         per_sample = jnp.sum(nll * is_char, axis=-1) / jnp.maximum(
             jnp.sum(is_char, axis=-1), 1

@@ -35,6 +35,7 @@ class JittedPredictor:
         noise_iters: int = 10,
         aae_enabled: bool = False,
         detailed: bool = False,
+        mesh=None,
     ):
         self.engine = engine
         self.num_steps = int(num_steps)
@@ -42,6 +43,7 @@ class JittedPredictor:
         self.noise_iters = int(noise_iters)
         self.aae_enabled = bool(aae_enabled)
         self.detailed = bool(detailed)
+        self.mesh = mesh
         self.n_compiles = 0
         # generic embedder graphs read extra array keys (e.g. a
         # ClassEmbedder's class ids) — keep them in the jitted batch
@@ -63,7 +65,17 @@ class JittedPredictor:
                 detailed=self.detailed,
             )
 
-        self._jitted = jax.jit(raw)
+        if mesh is not None:
+            # multi-chip eval (reference scope is single-GPU test.py): batch
+            # sharded over the `data` mesh axis, params replicated; GSPMD
+            # inserts the collectives exactly as in the train step
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(mesh, PartitionSpec())
+            dat = NamedSharding(mesh, PartitionSpec("data"))
+            self._jitted = jax.jit(raw, in_shardings=(rep, dat, rep))
+        else:
+            self._jitted = jax.jit(raw)
 
     def array_batch(self, batch: Dict[str, Any]) -> Dict[str, jax.Array]:
         out = {}

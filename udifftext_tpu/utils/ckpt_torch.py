@@ -859,3 +859,67 @@ def convert_lpips_alex(
         else:
             unknown.append(key)
     return {"params": params, "unknown": unknown}
+
+
+def _open_clip_resblocks(sub_sd: Dict[str, np.ndarray], out: Dict, unknown, ctx: str):
+    """transformer.resblocks.{i}.* of an open_clip tower → ResidualAttentionBlock
+    params (models/open_clip.py)."""
+    for key, v in sub_sd.items():
+        parts = key.split(".")
+        if parts[0] != "resblocks":
+            unknown.append(f"{ctx}transformer.{key}")
+            continue
+        n, wb = parts[1], parts[-1]
+        sub = ".".join(parts[2:-1])
+        base = (f"resblocks_{n}",)
+        if sub in ("ln_1", "ln_2"):
+            _set(out, base + (sub, "scale" if wb == "weight" else "bias"), v)
+        elif sub == "attn" and wb in ("in_proj_weight", "in_proj_bias"):
+            kind = "kernel" if wb.endswith("weight") else "bias"
+            _set(out, base + ("attn", f"in_proj_{kind}"),
+                 t_lin(v) if kind == "kernel" else v)
+        elif sub == "attn.out_proj":
+            _set(out, base + ("attn", "out_proj") + _leaf("lin", wb), _val("lin", wb, v))
+        elif sub in ("mlp.c_fc", "mlp.c_proj"):
+            mod = sub.split(".")[1]
+            _set(out, base + (mod,) + _leaf("lin", wb), _val("lin", wb, v))
+        else:
+            unknown.append(f"{ctx}transformer.{key}")
+
+
+def convert_open_clip(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    """open_clip CLIP state dict (e.g. ViT-H-14 laion2b) → native tower params
+    (models/open_clip.py): {"text": ..., "visual": ...}. Either tower may be
+    absent (the reference deletes the unused one, modules.py:459,637)."""
+    sd = strip_prefix(sd, prefix) if prefix else dict(sd)
+    text: Dict = {}
+    visual: Dict = {}
+    unknown: list = []
+    for key, v in sd.items():
+        if key.startswith("visual."):
+            k = key[len("visual."):]
+            parts = k.split(".")
+            if k in ("class_embedding", "positional_embedding", "proj"):
+                _set(visual, (k,), v)
+            elif k == "conv1.weight":
+                _set(visual, ("conv1", "kernel"), t_conv(v))
+            elif parts[0] in ("ln_pre", "ln_post"):
+                _set(visual, (parts[0], "scale" if parts[-1] == "weight" else "bias"), v)
+            elif parts[0] == "transformer":
+                _open_clip_resblocks({k[len("transformer."):]: v}, visual, unknown,
+                                     "visual.")
+            else:
+                unknown.append(key)
+        elif key == "token_embedding.weight":
+            _set(text, ("token_embedding", "embedding"), v)
+        elif key in ("positional_embedding", "text_projection"):
+            _set(text, (key,), v)
+        elif key.startswith("ln_final."):
+            _set(text, ("ln_final", "scale" if key.endswith("weight") else "bias"), v)
+        elif key.startswith("transformer."):
+            _open_clip_resblocks({key[len("transformer."):]: v}, text, unknown, "")
+        elif key in ("logit_scale", "attn_mask"):
+            pass  # contrastive head / mask buffer — rebuilt, not loaded
+        else:
+            unknown.append(key)
+    return {"params": {"text": text, "visual": visual}, "unknown": unknown}
