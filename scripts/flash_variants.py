@@ -1,0 +1,199 @@
+"""Flash-attention kernel variants for the ds1 latent self-attention
+(N=4096, d=64) — the round-2 roofline's biggest single residual.
+
+Hypotheses tested against the shipped kernel (ops/flash_attention.py):
+  v1 (shipped): s = q@k^T (bq,bk), online softmax, acc += p@v (output lanes
+      = d = 64 → half the MXU's 128 result lanes idle on the p·v dot).
+  v2 "transposed": s^T = k@q^T (bk,bq), softmax over sublanes, acc^T += v^T@p^T
+      with output (d, bq) — result lanes = bq (full 128+), contraction = bk
+      (full depth). One (d, bq)→(bq, d) transpose per q block at the end.
+  v3 "clamped-exp": skip online max tracking entirely — bf16 inputs bound the
+      logits far below fp32 exp overflow; clamp s to ±60 and accumulate
+      unnormalized. Removes the per-block max/alpha/rescale chain.
+  v4 = v2 + v3.
+
+Each timed as a lax.scan of K reps in one jit ending in float(sum)
+(ROOFLINE.md methodology). Usage: python scripts/flash_variants.py [K=40]
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, ".")
+
+_NEG_INF = -1e30
+
+
+def _kernel_v2(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, clamp_exp):
+    """Transposed accumulation: s^T = k@q^T, acc^T = v^T @ p^T."""
+    q = q_ref[0]  # (bq, d)
+    n_k = k_ref.shape[1]
+    bq, d = q.shape
+
+    acc = jnp.zeros((d, bq), jnp.float32)  # transposed accumulator
+    m = jnp.full((1, bq), _NEG_INF, jnp.float32)
+    l = jnp.zeros((1, bq), jnp.float32)
+
+    num_kv = n_k // block_k
+    for j in range(num_kv):
+        k = k_ref[0, j * block_k : (j + 1) * block_k, :]
+        v = v_ref[0, j * block_k : (j + 1) * block_k, :]
+        # (bk, d) x (bq, d) -> (bk, bq): contraction d, result lanes bq (full)
+        st = jax.lax.dot_general(
+            k, q, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if clamp_exp:
+            p = jnp.exp(jnp.clip(st, -60.0, 60.0))
+            l = l + jnp.sum(p, axis=0, keepdims=True)
+        else:
+            m_new = jnp.maximum(m, jnp.max(st, axis=0, keepdims=True))
+            p = jnp.exp(st - m_new)
+            alpha = jnp.exp(m - m_new)
+            l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+            acc = acc * alpha
+            m = m_new
+        # (bk, d)^T x (bk, bq) -> (d, bq): contraction bk (full), lanes bq
+        acc = acc + jax.lax.dot_general(
+            v, p.astype(v.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    o_ref[0] = (acc / l).T.astype(o_ref.dtype)
+
+
+def _kernel_v3(q_ref, k_ref, v_ref, o_ref, *, scale, block_k):
+    """Shipped layout, clamped-exp (no max/alpha chain)."""
+    q = q_ref[0]
+    n_k = k_ref.shape[1]
+    bq, d = q.shape
+    acc = jnp.zeros((bq, d), jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    for j in range(n_k // block_k):
+        k = k_ref[0, j * block_k : (j + 1) * block_k, :]
+        v = v_ref[0, j * block_k : (j + 1) * block_k, :]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        p = jnp.exp(jnp.clip(s, -60.0, 60.0))
+        l = l + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc + jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def run_variant(kernel, qf, kf, vf, block_q, block_k, **kw):
+    bh, nq, d = qf.shape
+    nk = kf.shape[1]
+    grid = (bh, nq // block_q)
+    return pl.pallas_call(
+        functools.partial(kernel, scale=d**-0.5, block_k=block_k, **kw),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, nq, d), qf.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * nq * nk * d,
+            bytes_accessed=(qf.size + kf.size + vf.size) * 2 * 2,
+            transcendentals=bh * nq * nk,
+        ),
+    )(qf, kf, vf)
+
+
+def timed(fn, x, K, label, flops):
+    @jax.jit
+    def run(x):
+        def body(c, _):
+            o = fn(c)
+            return o.astype(c.dtype), None  # output feeds the next q: no DCE
+
+        c, _ = jax.lax.scan(body, x, None, length=K)
+        return jnp.sum(c.astype(jnp.float32))
+
+    float(run(x))
+    t0 = time.perf_counter()
+    float(run(x))
+    dt = (time.perf_counter() - t0 - 0.024) / K
+    print(f"{label:46s} {dt*1e3:8.2f} ms  {flops/dt/1e12:6.1f} TF/s")
+    return dt
+
+
+def main():
+    K = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    B, H, N, D = 32, 5, 4096, 64  # CFG-doubled ds1
+    bh = B * H
+    rng = np.random.RandomState(0)
+    qf = jnp.asarray(rng.randn(bh, N, D), jnp.bfloat16) * 0.3
+    kf = jnp.asarray(rng.randn(bh, N, D), jnp.bfloat16) * 0.3
+    vf = jnp.asarray(rng.randn(bh, N, D), jnp.bfloat16) * 0.3
+    flops = 4 * bh * N * N * D
+
+    from udifftext_tpu.ops.flash_attention import _flash_kernel
+
+    # correctness oracle (XLA sdpa on a slice)
+    q0, k0, v0 = qf[:2].astype(jnp.float32), kf[:2].astype(jnp.float32), vf[:2].astype(jnp.float32)
+    logits = jnp.einsum("bnd,bmd->bnm", q0, k0) * (D**-0.5)
+    ref = jnp.einsum("bnm,bmd->bnd", jax.nn.softmax(logits, -1), v0)
+
+    def check(out, label):
+        err = float(jnp.max(jnp.abs(out[:2].astype(jnp.float32) - ref)))
+        print(f"  {label} max err vs sdpa: {err:.4f}")
+        assert err < 0.02, label
+
+    def v1_fn(bq, bk):
+        def f(x):
+            grid = (bh, N // bq)
+            return pl.pallas_call(
+                functools.partial(_flash_kernel, scale=D**-0.5, block_k=bk, precision=None),
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, N, D), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, N, D), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((bh, N, D), x.dtype),
+            )(x, kf, vf)
+        return f
+
+    check(v1_fn(512, 512)(qf), "v1")
+    for bq, bk in [(512, 512)]:
+        timed(v1_fn(bq, bk), qf, K, f"v1 shipped bq={bq} bk={bk}", flops)
+
+    def v2_fn(bq, bk, clamp):
+        return lambda x: run_variant(_kernel_v2, x, kf, vf, bq, bk, clamp_exp=clamp)
+
+    check(v2_fn(512, 512, False)(qf), "v2")
+    for bq, bk in [(1024, 512), (1024, 256)]:
+        timed(v2_fn(bq, bk, False), qf, K, f"v2 transposed bq={bq} bk={bk}", flops)
+
+    check(v2_fn(1024, 512, True)(qf), "v4")
+    for bq, bk in [(1024, 512), (512, 512)]:
+        timed(v2_fn(bq, bk, True), qf, K, f"v4 transposed+clamp bq={bq} bk={bk}", flops)
+
+    for bq, bk in [(512, 512), (1024, 512)]:
+        v3 = lambda x, _bq=bq, _bk=bk: run_variant(_kernel_v3, x, kf, vf, _bq, _bk)
+        check(v3(qf), "v3")
+        timed(v3, qf, K, f"v3 clamped-exp bq={bq} bk={bk}", flops)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,5 +22,8 @@ import jax  # noqa: E402
 # startup — re-force CPU at the config level before any backend initializes,
 # or the whole suite silently runs over the device tunnel (1 real device, so
 # the 8-device mesh tests break; 150-300 ms per dispatch).
-jax.config.update("jax_platforms", "cpu")
+# UDIFFTEXT_TEST_TPU=1 opts out, for running the TPU-gated Pallas kernel
+# tests (tests/test_ops.py) on real hardware.
+if not os.environ.get("UDIFFTEXT_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

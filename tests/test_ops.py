@@ -52,3 +52,39 @@ def test_flash_attention_vjp_matches_xla():
     g1 = jax.grad(lambda q: jnp.sum(flash_attention(q, kv, kv) ** 2))(q)
     g2 = jax.grad(lambda q: jnp.sum(_xla_sdpa(q, kv, kv) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(not tpu, reason="needs TPU backend")
+def test_fused_geglu_matches_xla():
+    from udifftext_tpu.ops.geglu import _geglu_ref, geglu_ff
+
+    rng = np.random.RandomState(0)
+    for c, inner_mult, n in ((64, 4, 512), (128, 4, 256)):
+        inner = c * inner_mult
+        x = jnp.asarray(rng.randn(2, n, c), jnp.bfloat16) * 0.5
+        w1 = jnp.asarray(rng.randn(c, 2 * inner) * 0.05, jnp.float32)
+        b1 = jnp.asarray(rng.randn(2 * inner) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.randn(inner, c) * 0.05, jnp.float32)
+        b2 = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+        out = geglu_ff(x, w1, b1, w2, b2, 256)
+        ref = _geglu_ref(x, w1, b1, w2, b2)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=3e-2,
+        )
+
+
+@pytest.mark.skipif(not tpu, reason="needs TPU backend")
+def test_fused_geglu_vjp_matches_xla():
+    from udifftext_tpu.ops.geglu import _geglu_ref, geglu_ff
+
+    rng = np.random.RandomState(1)
+    c, inner, n = 64, 256, 256
+    x = jnp.asarray(rng.randn(1, n, c), jnp.float32) * 0.5
+    w1 = jnp.asarray(rng.randn(c, 2 * inner) * 0.05, jnp.float32)
+    b1 = jnp.zeros((2 * inner,), jnp.float32)
+    w2 = jnp.asarray(rng.randn(inner, c) * 0.05, jnp.float32)
+    b2 = jnp.zeros((c,), jnp.float32)
+    g1 = jax.grad(lambda xx: jnp.sum(geglu_ff(xx, w1, b1, w2, b2, 256) ** 2))(x)
+    g2 = jax.grad(lambda xx: jnp.sum(_geglu_ref(xx, w1, b1, w2, b2) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-2, atol=2e-2)

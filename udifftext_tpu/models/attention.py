@@ -94,20 +94,70 @@ class CrossAttention(nn.Module):
         return out, (attn if capture_map else None)
 
 
+class _LinParams(nn.Module):
+    """Kernel/bias holder named Dense_0 so the flax param path stays identical
+    to the Dense module nesting (checkpoint-converter compatibility)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _DenseParams(nn.Module):
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return _LinParams(self.features, self.in_features, name="Dense_0")()
+
+
 class GEGLUFeedForward(nn.Module):
-    """GEGLU FF (reference :44-69): Dense(d→8d) split ×gelu, Dense(4d→d)."""
+    """GEGLU FF (reference :44-69): Dense(d→8d) split ×gelu, Dense(4d→d).
+
+    On TPU the whole FF runs as one fused Pallas kernel (ops/geglu.py) that
+    keeps the 8×-wide gated hidden activations in VMEM — XLA's unfused form
+    round-trips them through HBM (measured 4.35 ms vs ~2.3 ms fused for the
+    ds1 layer, scripts/profile_transformer.py). `impl="xla"` forces the
+    reference-shaped einsum path (CPU tests, debugging)."""
 
     mult: int = 4
     dtype: Dtype = jnp.float32
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         dim = x.shape[-1]
         inner = dim * self.mult
-        h = Dense(inner * 2, dtype=self.dtype, name="proj")(x)
-        h, gate = jnp.split(h, 2, axis=-1)
+        w1, b1 = _DenseParams(inner * 2, dim, name="proj")()
+        w2, b2 = _DenseParams(dim, inner, name="out")()
+
+        x = x.astype(self.dtype)  # Dense(dtype=...) promoted inputs likewise
+        n = x.shape[1]
+        use_fused = (
+            self.impl == "fused"
+            or (self.impl == "auto"
+                and jax.default_backend() == "tpu"
+                and n % 256 == 0)
+        )
+        if use_fused:
+            from ..ops.geglu import geglu_ff
+
+            return geglu_ff(x, w1, b1, w2, b2, block_n=min(512, n))
+
+        prec = matmul_precision(self.dtype)
+        hg = jnp.matmul(x, w1.astype(x.dtype), precision=prec) + b1.astype(x.dtype)
+        h, gate = jnp.split(hg, 2, axis=-1)
         h = h * nn.gelu(gate, approximate=False)
-        return Dense(dim, dtype=self.dtype, name="out")(h)
+        return jnp.matmul(h, w2.astype(x.dtype), precision=prec) + b2.astype(x.dtype)
 
 
 class LayerNormF32(nn.Module):
@@ -158,9 +208,11 @@ class BasicTransformerBlock(nn.Module):
                 self.heads, self.dim_head, dtype=self.dtype, name="v_attn"
             )(LayerNormF32(dtype=self.dtype, name="v_norm")(x), v_context, False)
             x = h + x
-        x = GEGLUFeedForward(dtype=self.dtype, name="ff")(
-            LayerNormF32(dtype=self.dtype, name="norm3")(x)
-        ) + x
+        x = GEGLUFeedForward(
+            dtype=self.dtype,
+            impl="xla" if self.attn_impl == "xla" else "auto",
+            name="ff",
+        )(LayerNormF32(dtype=self.dtype, name="norm3")(x)) + x
         return x, t_map
 
 
