@@ -143,9 +143,14 @@ def build_test_parity(batch_size: int):
 
 
 def main():
-    # default = the best-known honest config on this chip (B=64 saturates the
-    # MXU; the chunked VAE decode keeps it inside HBM — ROOFLINE.md)
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    from udifftext_tpu.utils.profiling import enable_persistent_cache
+
+    enable_persistent_cache()
+    # default = the best-known honest config on this chip: B=16 — the flash
+    # kernel's 1024-wide q blocks already saturate at the CFG-doubled batch
+    # of 32, and B=64's chunked VAE decode pays lax.map sequencing overhead
+    # (round-3 sweep: 1.74 at B=16 vs 1.68/1.54 at B=64 — ROOFLINE.md)
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     mode = sys.argv[2] if len(sys.argv) > 2 else ""
     if mode == "test_parity":
         sample = build_test_parity(batch_size)
@@ -164,17 +169,26 @@ def main():
         metric = "inpaint_512_50step_samples_per_sec_per_chip"
 
     rng = jax.random.PRNGKey(0)
-    # warmup / compile; force a host round-trip of a scalar reduction —
-    # through the axon relay, block_until_ready alone can return before the
-    # computation actually ran (PROGRESS.md round-1 measurement trap)
-    float(jnp.sum(sample(rng)))
 
-    n_iters = 3
+    # The scalar reduction lives INSIDE the jit: an un-jitted jnp.sum over the
+    # (B,512,512,3) output materializes the image and pays a second dispatch
+    # through the axon relay, which measured 1.24 vs the true 1.73 samples/s
+    # at B=16 (scripts/pipeline_probe.py bisection). float() of the on-device
+    # scalar forces a host round-trip, so the timed region cannot end before
+    # the computation ran (ROOFLINE.md measurement traps).
+    @jax.jit
+    def sample_sum(r):
+        return jnp.sum(sample(r))
+
+    # warmup / compile
+    float(sample_sum(rng))
+
+    n_iters = 5
     t0 = time.perf_counter()
     acc = jnp.zeros(())
     for i in range(n_iters):
         rng, sub = jax.random.split(rng)
-        acc = acc + jnp.sum(sample(sub))
+        acc = acc + sample_sum(sub)
     float(acc)
     dt = time.perf_counter() - t0
 

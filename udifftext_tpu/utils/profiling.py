@@ -75,3 +75,16 @@ def flops_of(fn: Callable, *args, **kwargs) -> Dict[str, float]:
         "flops": float(ca.get("flops", 0.0)),
         "bytes_accessed": float(ca.get("bytes accessed", 0.0)),
     }
+
+
+def enable_persistent_cache(path: str = "/root/repo/.jax_cache",
+                            min_compile_secs: float = 5.0) -> None:
+    """Persistent XLA compilation cache (compiles of the 512² pipeline cost
+    ~5-25 min through the axon tunnel; cached reloads are seconds). Safe to
+    call multiple times; no-op if the config is unavailable."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
