@@ -169,9 +169,15 @@ def main():
                     pl.BlockSpec((1, N, D), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, N, D), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
                 ],
-                out_specs=pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((bh, N, D), x.dtype),
-            )(x, kf, vf)
+                out_specs=[
+                    pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, bq), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((bh, N, D), x.dtype),
+                    jax.ShapeDtypeStruct((bh, N), jnp.float32),
+                ],
+            )(x, kf, vf)[0]
         return f
 
     check(v1_fn(512, 512)(qf), "v1")

@@ -42,16 +42,45 @@ def test_flash_attention_matches_xla():
 
 @pytest.mark.skipif(not tpu, reason="needs TPU backend")
 def test_flash_attention_vjp_matches_xla():
+    """Fused Pallas backward: dq, dk, dv against XLA autodiff (fp32 exact)."""
     from udifftext_tpu.ops.attention import _xla_sdpa
     from udifftext_tpu.ops.flash_attention import flash_attention
 
-    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
     q = jax.random.normal(k1, (1, 128, 2, 64))
-    kv = jax.random.normal(k2, (1, 128, 2, 64))
+    k = jax.random.normal(k2, (1, 128, 2, 64))
+    v = jax.random.normal(k3, (1, 128, 2, 64))
 
-    g1 = jax.grad(lambda q: jnp.sum(flash_attention(q, kv, kv) ** 2))(q)
-    g2 = jax.grad(lambda q: jnp.sum(_xla_sdpa(q, kv, kv) ** 2))(q)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+    g1 = jax.grad(lambda q, k, v: jnp.sum(flash_attention(q, k, v) ** 2), (0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda q, k, v: jnp.sum(_xla_sdpa(q, k, v) ** 2), (0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4, err_msg=name
+        )
+
+
+@pytest.mark.skipif(not tpu, reason="needs TPU backend")
+def test_flash_attention_vjp_bf16_training_shape():
+    """bf16 grads at a multi-block training shape (q chunking + kv-grid
+    accumulation paths of the backward kernel all exercised)."""
+    from udifftext_tpu.ops.attention import _xla_sdpa
+    from udifftext_tpu.ops.flash_attention import flash_attention
+
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(2), 4)
+    shp = (2, 1024, 2, 64)
+    q = (jax.random.normal(k1, shp) * 0.5).astype(jnp.bfloat16)
+    k = (jax.random.normal(k2, shp) * 0.5).astype(jnp.bfloat16)
+    v = (jax.random.normal(k3, shp) * 0.5).astype(jnp.bfloat16)
+    g = (jax.random.normal(k4, shp) * 0.5).astype(jnp.bfloat16)
+
+    _, vjp1 = jax.vjp(flash_attention, q, k, v)
+    _, vjp2 = jax.vjp(_xla_sdpa, q.astype(jnp.float32), k.astype(jnp.float32),
+                      v.astype(jnp.float32))
+    for a, b, name in zip(vjp1(g), vjp2(g.astype(jnp.float32)), ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=5e-2, atol=5e-2, err_msg=name,
+        )
 
 
 @pytest.mark.skipif(not tpu, reason="needs TPU backend")

@@ -38,7 +38,9 @@ Array = jax.Array
 _CLAMP = 75.0
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, precision):
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float, block_k: int, precision
+):
     """Transposed-accumulation, max-free flash forward.
 
     Measured on v5e (scripts/flash_variants.py, ds1 shape 160×4096×64 bf16):
@@ -85,6 +87,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, pre
         )
 
     o_ref[0] = (acc / l).T.astype(o_ref.dtype)
+    # denominator residual for the fused backward (tiny: one fp32 per q row)
+    l_ref[0, 0] = l[0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -98,11 +102,13 @@ def flash_attention(
 ) -> Array:
     """q (B, Nq, H, D), k/v (B, Nk, H, D) → (B, Nq, H, D).
 
-    Differentiable: the backward pass recomputes the softmax row-wise (exact,
-    non-flash — fine at ≤4096 tokens) in XLA; the forward stays the Pallas
-    kernel. A fused Pallas backward is a later optimization.
+    Differentiable: both passes are fused Pallas kernels. The forward saves
+    only the output and the per-row softmax denominators; the backward
+    (_flash_bwd_impl) recomputes probabilities blockwise in VMEM — the XLA
+    fallback materializes the full (B, H, Nq, Nk) fp32 softmax twice, ~335 MB
+    per ds1 layer at training shapes.
     """
-    return _flash_fwd_impl(q, k, v, scale, block_q, block_k)
+    return _flash_fwd_impl(q, k, v, scale, block_q, block_k)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
@@ -113,7 +119,7 @@ def _flash_fwd_impl(
     scale: Optional[float] = None,
     block_q: int = 1024,
     block_k: int = 512,
-) -> Array:
+):
     b, nq, h, d = q.shape
     nk = k.shape[1]
     scale = d**-0.5 if scale is None else scale
@@ -128,7 +134,7 @@ def _flash_fwd_impl(
 
     grid = (b * h, nq // block_q)
     precision = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
-    out = pl.pallas_call(
+    out, l = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, block_k=block_k,
                           precision=precision),
         grid=grid,
@@ -137,10 +143,14 @@ def _flash_fwd_impl(
             pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, nq), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * nq * nk * d,
             bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize * 2,
@@ -148,34 +158,160 @@ def _flash_fwd_impl(
         ),
     )(qf, kf, vf)
 
-    return out.reshape(b, h, nq, d).transpose(0, 2, 1, 3)
+    return out.reshape(b, h, nq, d).transpose(0, 2, 1, 3), l
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _flash_bwd_kernel(
+    q_ref, g_ref, kb_ref, vb_ref, l_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref, dq_acc,
+    *, scale: float, block_q: int, n_kv: int, precision,
+):
+    """One pass over (batch·head, kv-block) computing dk/dv for the block and
+    accumulating dq across kv blocks in a VMEM scratch.
+
+    Layout mirrors the forward: sᵀ = k@qᵀ keeps the long q axis on the MXU's
+    128 result lanes; probabilities are recomputed from the saved denominator
+    l (no lse/max chain — the forward's clamped-exp softmax), so nothing
+    N²-sized ever leaves VMEM. Per (i, j) step with q chunked by block_q:
+      p   = exp(clip(k·qᵀ·scale)) / l
+      dv += p @ g          dp = v @ gᵀ
+      ds  = p·(dp − delta)·scale   (masked where the clamp binds)
+      dk += ds @ q         dq[chunk] += dsᵀ @ k
+    delta = rowsum(g·out) is computed in XLA (one cheap fused reduction).
+    """
+    j = pl.program_id(1)
+    kb = kb_ref[0]  # (bk, d)
+    vb = vb_ref[0]
+    nq, d = q_ref.shape[1], q_ref.shape[2]
+
+    @pl.when(j == 0)
+    def _():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    dk = jnp.zeros((kb.shape[0], d), jnp.float32)
+    dv = jnp.zeros((kb.shape[0], d), jnp.float32)
+
+    for qi in range(nq // block_q):
+        sl = slice(qi * block_q, (qi + 1) * block_q)
+        qc = q_ref[0, sl, :]        # (bq, d)
+        gc = g_ref[0, sl, :]        # (bq, d)
+        lc = l_ref[0, 0, sl][None, :]      # (1, bq) fp32
+        dc = delta_ref[0, 0, sl][None, :]  # (1, bq) fp32
+
+        st = jax.lax.dot_general(
+            kb, qc, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) * scale                   # (bk, bq)
+        p = jnp.exp(jnp.clip(st, -_CLAMP, _CLAMP)) / lc
+        pc = p.astype(vb.dtype)
+
+        # dv += p @ g : contract bq -> (bk, d)
+        dv = dv + jax.lax.dot_general(
+            pc, gc, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        # dp = v @ gᵀ : contract d -> (bk, bq)
+        dp = jax.lax.dot_general(
+            vb, gc, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        ds = p * (dp - dc) * scale
+        # the clamp's vjp: zero where |logits| >= _CLAMP (never binds for
+        # real attention logits; kept for exactness of the computed function)
+        ds = jnp.where(jnp.abs(st) < _CLAMP, ds, 0.0)
+        dsc = ds.astype(qc.dtype)
+
+        # dk += ds @ q : contract bq -> (bk, d)
+        dk = dk + jax.lax.dot_general(
+            dsc, qc, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        # dq[chunk] += dsᵀ @ k : contract bk -> (bq, d)
+        dq_acc[sl, :] += jax.lax.dot_general(
+            dsc, kb, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+    @pl.when(j == n_kv - 1)
+    def _():
+        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def _flash_bwd_impl(q, k, v, out, l, g, scale, block_q=512, block_k=512):
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    block_q = min(block_q, nq)
+    block_k = min(block_k, nk)
+    assert nq % block_q == 0 and nk % block_k == 0
+
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, nq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    gf = g.transpose(0, 2, 1, 3).reshape(b * h, nq, d)
+    # delta_i = Σ_d g·out per q row — fused by XLA into one cheap reduction
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    ).transpose(0, 2, 1).reshape(b * h, 1, nq)
+
+    n_kv = nk // block_k
+    grid = (b * h, n_kv)
+    precision = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_kernel, scale=scale, block_q=block_q, n_kv=n_kv,
+            precision=precision,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, nq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nq), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nq), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, nk, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, nk, d), v.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((nq, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * nq * nk * d,
+            bytes_accessed=(qf.size * 3 + kf.size * 4) * qf.dtype.itemsize,
+            transcendentals=b * h * nq * nk,
+        ),
+    )(qf, gf, kf, vf, l, delta)
+
+    unflat = lambda x, n: x.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+    return unflat(dq, nq), unflat(dk, nk), unflat(dv, nk)
 
 
 def _fa_fwd(q, k, v, scale, block_q, block_k):
-    out = _flash_fwd_impl(q, k, v, scale, block_q, block_k)
-    return out, (q, k, v)
+    out, l = _flash_fwd_impl(q, k, v, scale, block_q, block_k)
+    return out, (q, k, v, out, l)
 
 
 def _fa_bwd(scale, block_q, block_k, res, g):
-    q, k, v = res
+    q, k, v, out, l = res
     d = q.shape[-1]
     s = d**-0.5 if scale is None else scale
-    # fp32 primals must use exact matmuls; bf16 primals ride the native MXU
-    # path with fp32 accumulation
-    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
-    ein = lambda spec, a, b: jnp.einsum(
-        spec, a, b, precision=prec, preferred_element_type=jnp.float32
-    )
-    logits = ein("bqhd,bkhd->bhqk", q, k) * s
-    p = jax.nn.softmax(logits, axis=-1)
-    pq = p.astype(q.dtype)
-    dv = ein("bhqk,bqhd->bkhd", pq, g)
-    dp = ein("bqhd,bkhd->bhqk", g, v)
-    # softmax vjp: dlogits = p * (dp - sum_k(p * dp))
-    dsum = jnp.sum(p * dp, axis=-1, keepdims=True)
-    dlogits = (p * (dp - dsum)).astype(q.dtype)
-    dq = ein("bhqk,bkhd->bqhd", dlogits, k) * s
-    dk = ein("bhqk,bqhd->bkhd", dlogits, q) * s
+    dq, dk, dv = _flash_bwd_impl(q, k, v, out, l, g, s)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
