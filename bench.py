@@ -142,6 +142,58 @@ def build_test_parity(batch_size: int):
     return sample
 
 
+def build_train(batch_size: int):
+    """The reference's fine-tuning step (configs/train.yaml semantics at
+    accum 1): diffusion + local attention loss, grads through the bf16 UNet
+    (flash fwd + fused Pallas bwd at the 4096-token levels), masked AdamW on
+    t_attn/t_norm. Returns a thunk: one optimizer step on a synthetic
+    512² batch; throughput = batch / step-time."""
+    from udifftext_tpu.builders import build_diffusion_engine
+    from udifftext_tpu.config import load_config
+    from udifftext_tpu.loading import init_engine_params
+    from udifftext_tpu.parallel.train import (
+        TrainState, make_optimizer, make_train_step,
+    )
+
+    model_cfg = load_config("./configs/train/textdesign_sd_2.yaml")
+    bundle = build_diffusion_engine(model_cfg["model"]["params"], unet_dtype=jnp.bfloat16)
+    eng = bundle.engine
+
+    params = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        jax.eval_shape(lambda: init_engine_params(bundle, jax.random.PRNGKey(0))),
+    )
+    params["unet"] = cast_params_bf16(params["unet"])
+
+    gc = eng.general_conditioner
+    optimizer = make_optimizer(
+        params, base_lr=5e-5, opt_keys=bundle.opt_keys, steps_per_epoch=1000,
+        trainable_embedders=gc.trainable_embedders if gc is not None else (),
+    )
+    step_fn = make_train_step(eng.loss, optimizer, accum_steps=1)
+    state = TrainState.create(params, optimizer)
+
+    b = batch_size
+    mask = jnp.zeros((b, 512, 512, 1)).at[:, 128:384, 128:384].set(1.0)
+    batch = {
+        "image": jnp.zeros((b, 512, 512, 3)),
+        "masked": jnp.zeros((b, 512, 512, 3)),
+        "mask": mask,
+        "seg": jnp.zeros((b, 512, 512, 12)),
+        "seg_mask": jnp.ones((b, 12)),
+        "label_ids": jnp.ones((b, 12), jnp.int32),
+    }
+
+    holder = {"state": state}
+
+    def step(rng):
+        new_state, loss, _aux = step_fn(holder["state"], batch, rng)
+        holder["state"] = new_state  # donated; keep the buffers alive
+        return loss
+
+    return step
+
+
 def main():
     from udifftext_tpu.utils.profiling import enable_persistent_cache
 
@@ -152,6 +204,37 @@ def main():
     # (round-3 sweep: 1.74 at B=16 vs 1.68/1.54 at B=64 — ROOFLINE.md)
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     mode = sys.argv[2] if len(sys.argv) > 2 else ""
+    if mode == "train":
+        step = build_train(batch_size)
+        rng = jax.random.PRNGKey(0)
+        float(step(rng))  # compile + warmup
+        n_iters = 5
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(n_iters):
+            rng, sub = jax.random.split(rng)
+            loss = step(sub)
+        float(loss)  # steps chain through the donated state; this waits for all
+        dt = time.perf_counter() - t0
+        samples_per_sec = batch_size * n_iters / dt
+        print(
+            json.dumps(
+                {
+                    "metric": "train_512_samples_per_sec_per_chip",
+                    "value": round(samples_per_sec, 4),
+                    "unit": "samples/s",
+                    "vs_baseline": None,
+                    "scope": (
+                        "full fine-tuning step (diff + local loss, masked "
+                        "AdamW on t_attn/t_norm, bf16 UNet, fused flash "
+                        "fwd+bwd), accum 1; reference publishes no training "
+                        "throughput"
+                    ),
+                    "batch": batch_size,
+                }
+            )
+        )
+        return
     if mode == "test_parity":
         sample = build_test_parity(batch_size)
         scope = (
