@@ -142,12 +142,18 @@ def build_test_parity(batch_size: int):
     return sample
 
 
-def build_train(batch_size: int):
+def build_train(batch_size: int, first_stage_bf16: bool = True):
     """The reference's fine-tuning step (configs/train.yaml semantics at
     accum 1): diffusion + local attention loss, grads through the bf16 UNet
     (flash fwd + fused Pallas bwd at the 4096-token levels), masked AdamW on
     t_attn/t_norm. Returns a thunk: one optimizer step on a synthetic
-    512² batch; throughput = batch / step-time."""
+    512² batch; throughput = batch / step-time.
+
+    first_stage_bf16 (default): the TPU-recommended config — the step's two
+    512² VAE encodes (image target + conditioner masked-latent) run bf16
+    (measured 121 vs 604 ms each at B=16, scripts/train_probe.py; same
+    fp32-exponent-range argument as the inference bench's bf16 decode).
+    Pass mode `train_fp32vae` for the strict reference-parity fp32 encodes."""
     from udifftext_tpu.builders import build_diffusion_engine
     from udifftext_tpu.config import load_config
     from udifftext_tpu.loading import init_engine_params
@@ -156,6 +162,8 @@ def build_train(batch_size: int):
     )
 
     model_cfg = load_config("./configs/train/textdesign_sd_2.yaml")
+    if first_stage_bf16:
+        model_cfg["model"]["params"]["first_stage_bf16"] = True
     bundle = build_diffusion_engine(model_cfg["model"]["params"], unet_dtype=jnp.bfloat16)
     eng = bundle.engine
 
@@ -204,8 +212,8 @@ def main():
     # (round-3 sweep: 1.74 at B=16 vs 1.68/1.54 at B=64 — ROOFLINE.md)
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     mode = sys.argv[2] if len(sys.argv) > 2 else ""
-    if mode == "train":
-        step = build_train(batch_size)
+    if mode in ("train", "train_fp32vae"):
+        step = build_train(batch_size, first_stage_bf16=mode == "train")
         rng = jax.random.PRNGKey(0)
         float(step(rng))  # compile + warmup
         n_iters = 5
@@ -227,8 +235,10 @@ def main():
                     "scope": (
                         "full fine-tuning step (diff + local loss, masked "
                         "AdamW on t_attn/t_norm, bf16 UNet, fused flash "
-                        "fwd+bwd), accum 1; reference publishes no training "
-                        "throughput"
+                        "fwd+bwd, frozen backward DCE'd via the masked "
+                        "optimizer), accum 1, "
+                        f"{'bf16' if mode == 'train' else 'fp32'} first-stage "
+                        "encodes; reference publishes no training throughput"
                     ),
                     "batch": batch_size,
                 }

@@ -121,6 +121,16 @@ def make_train_step(
     megatron-style tensor parallelism: a NamedSharding pytree matching the
     TrainState; without it params replicate (pure DP, the reference's DDP
     semantics).
+
+    Frozen-param gradients need no explicit pruning: their grads feed
+    `set_to_zero` in the masked optimizer and nothing else, so XLA dead-code
+    -eliminates the frozen weight-gradient matmuls (incl. the entire VAE
+    -encoder backward) on its own — the jit-level analogue of the torch
+    reference's requires_grad=False (diffusion.py:202-218). An explicit
+    stop_gradient wrapper over frozen leaves was measured ACTIVELY HARMFUL
+    here: 1.6 → 3.6 s/step on the full fine-tune graph (B=16, ROOFLINE.md
+    "Training step" section) — it perturbs partial-eval/fusion for zero
+    algorithmic benefit. Don't add it back.
     """
 
     grad_fn = jax.value_and_grad(
