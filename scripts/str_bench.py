@@ -59,11 +59,34 @@ def main():
         np.asarray(jax.tree.leaves(out)[0])
         times.append(time.perf_counter() - t0)
 
+    # On-device latency: K-scan inside one jit (the axon relay costs ~24 ms
+    # per dispatch + ~12 MB/s result transfer — ROOFLINE.md measurement
+    # traps — so per-call wall times above measure the tunnel, not the chip).
+    K = 20
+
+    @jax.jit
+    def scan_run(x0):
+        def body(c, _):
+            out = fn(params, c)
+            leaf = jax.tree.leaves(out)[0]
+            bump = jnp.sum(leaf.astype(jnp.float32)) * 1e-12
+            return (c + bump).astype(c.dtype), None
+
+        c, _ = jax.lax.scan(body, x0, None, length=K)
+        return jnp.sum(c.astype(jnp.float32))
+
+    float(scan_run(x))
+    t0 = time.perf_counter()
+    float(scan_run(x))
+    dev_ms = (time.perf_counter() - t0) / K * 1e3
+
     print(f"model: {which}")
     print(f"params: {n_params / 1e6:.3f} M")
     print(f"flops (XLA, batch {batch}): {flops / 1e9:.3f} GFLOPs")
     print(f"median latency: {sorted(times)[len(times) // 2] * 1e3:.2f} ms "
           f"(includes host transfer)")
+    print(f"on-device latency: {dev_ms:.2f} ms/call (batch {batch}, "
+          f"{batch / dev_ms * 1e3:.1f} images/s)")
 
 
 if __name__ == "__main__":
