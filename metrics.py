@@ -142,14 +142,22 @@ def calc_fid(
         # comparability. Images are bucketed by shape up front so mixed-size
         # dirs still batch fully (and the jitted extractor compiles once per
         # distinct shape, not once per interleaving).
+        # Streaming: each bucket is flushed through the extractor as soon as
+        # it fills a batch, so at most batch_size pending fp32 images per
+        # distinct shape live in RAM (a 10k-image 512² dir would otherwise
+        # hold ~30 GB before the first extraction — review round 3).
         buckets = {}
+        feats = []
         for p in _load_images(d):
             arr = np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
-            buckets.setdefault(arr.shape, []).append(arr)
-        feats = []
-        for arrs in buckets.values():
-            for i in range(0, len(arrs), batch_size):
-                feats.append(np.asarray(feature_fn(np.stack(arrs[i : i + batch_size]))))
+            pend = buckets.setdefault(arr.shape, [])
+            pend.append(arr)
+            if len(pend) == batch_size:
+                feats.append(np.asarray(feature_fn(np.stack(pend))))
+                pend.clear()
+        for pend in buckets.values():
+            if pend:
+                feats.append(np.asarray(feature_fn(np.stack(pend))))
         return np.concatenate(feats, axis=0)
 
     mu1, s1 = activation_statistics(features_of(fake_dir))

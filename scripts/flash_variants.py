@@ -171,11 +171,12 @@ def main():
                 ],
                 out_specs=[
                     pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, bq), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                    # the kernel writes l_ref[0, 0] = l[0] — a (1, 1, bq) block
+                    pl.BlockSpec((1, 1, bq), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
                 ],
                 out_shape=[
                     jax.ShapeDtypeStruct((bh, N, D), x.dtype),
-                    jax.ShapeDtypeStruct((bh, N), jnp.float32),
+                    jax.ShapeDtypeStruct((bh, 1, N), jnp.float32),
                 ],
             )(x, kf, vf)[0]
         return f

@@ -83,6 +83,64 @@ def test_flash_attention_vjp_bf16_training_shape():
         )
 
 
+def test_pick_block_divides():
+    """Block picking must return a divisor for every _flash_ok-admissible N
+    (review round 3: N=1536 asserted at the old fixed 1024 default; N=640
+    crashed the backward's fixed 512)."""
+    from udifftext_tpu.ops.flash_attention import _pick_block
+
+    for n in range(128, 8192 + 1, 128):
+        for preferred in (512, 1024):
+            blk = _pick_block(n, preferred)
+            assert n % blk == 0, (n, preferred, blk)
+            assert blk <= max(preferred, 128)
+    assert _pick_block(1536, 1024) == 768
+    assert _pick_block(640, 512) == 128
+    assert _pick_block(768, 512) == 384
+    assert _pick_block(4096, 1024) == 1024
+
+
+@pytest.mark.skipif(not tpu, reason="needs TPU backend")
+def test_flash_attention_nonpow2_seq_fwd_bwd():
+    """N=1536 (e.g. a 48x32 latent) through fwd AND the fused backward —
+    the review-found crash shapes."""
+    from udifftext_tpu.ops.attention import _xla_sdpa
+    from udifftext_tpu.ops.flash_attention import flash_attention
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(k1, (1, 1536, 2, 64))
+    k = jax.random.normal(k2, (1, 1536, 2, 64))
+    v = jax.random.normal(k3, (1, 1536, 2, 64))
+    np.testing.assert_allclose(
+        np.asarray(flash_attention(q, k, v)), np.asarray(_xla_sdpa(q, k, v)),
+        rtol=1e-5, atol=1e-5,
+    )
+    g1 = jax.grad(lambda q: jnp.sum(flash_attention(q, k, v) ** 2))(q)
+    g2 = jax.grad(lambda q: jnp.sum(_xla_sdpa(q, k, v) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(not tpu, reason="needs TPU backend")
+def test_fused_geglu_nonpow2_seq():
+    """N=768 admitted by the n%128 gate must pick a dividing block (the old
+    n%256 gate + fixed 512 block asserted inside the kernel)."""
+    from udifftext_tpu.ops.geglu import geglu_ff
+
+    rng = np.random.RandomState(2)
+    c, inner, n = 64, 256, 768
+    x = jnp.asarray(rng.randn(1, n, c).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(c, 2 * inner).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.randn(2 * inner).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(rng.randn(inner, c).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.randn(c).astype(np.float32) * 0.05)
+
+    from udifftext_tpu.ops.geglu import _geglu_ref
+
+    out = geglu_ff(x, w1, b1, w2, b2)
+    ref = _geglu_ref(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
 @pytest.mark.skipif(not tpu, reason="needs TPU backend")
 def test_fused_geglu_matches_xla():
     from udifftext_tpu.ops.geglu import _geglu_ref, geglu_ff

@@ -284,6 +284,46 @@ def test_loader_process_sharding():
     assert seen[0] | seen[1] == set(range(20))
 
 
+def test_loader_process_sharding_uneven_dataset():
+    """len(dataset) % process_count != 0 must still give every process the
+    SAME number of batches — unequal step counts would desynchronize the
+    collective train step across hosts (review round 3)."""
+    import numpy as np
+
+    from udifftext_tpu.data.loader import DataLoader
+
+    dataset = [{"idx": np.asarray(i), "label": "ab"} for i in range(47)]
+    counts = {}
+    for pidx in (0, 1):
+        dl = DataLoader(dataset, batch_size=8, shuffle=True, seed=3,
+                        prefetch=0, process_index=pidx, process_count=2)
+        batches = list(dl)
+        counts[pidx] = len(batches)
+        assert len(dl) == len(batches)
+    assert counts[0] == counts[1] == 2  # 46 usable → 23 per shard → 2 full
+
+
+def test_jitted_predictor_rejects_indivisible_batch():
+    """eval_data_parallel with batch % data-axis != 0 must fail with a clear
+    message, not an opaque GSPMD sharding error (review round 3; the test
+    config default batch_size is 1)."""
+    import pytest as _pytest
+
+    from udifftext_tpu.predict import JittedPredictor
+
+    class _StubEngine:
+        general_conditioner = None
+
+        def sample(self, *a, **k):  # never reached
+            raise AssertionError
+
+    mesh = make_mesh(n_data=8, devices=_cpu_devices()[:8])
+    pred = JittedPredictor(_StubEngine(), num_steps=2, noise_iters=1, mesh=mesh)
+    batch = {"image": np.zeros((1, 8, 8, 3), np.float32)}
+    with _pytest.raises(ValueError, match="divisible by the data-mesh"):
+        pred({}, batch, jax.random.PRNGKey(0))
+
+
 def test_make_global_batch_shards_over_data_axis():
     """make_global_batch assembles process-local numpy into global jax.Arrays
     sharded P('data') (multi-host path; on one process local data IS global)."""

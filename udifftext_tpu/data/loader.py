@@ -84,8 +84,11 @@ class DataLoader:
         self.rng = np.random.RandomState(seed)
 
     def _shard_len(self) -> int:
-        n, r = divmod(len(self.dataset), self.process_count)
-        return n + (1 if self.process_index < r else 0)
+        # every process gets the SAME shard length (the global order is
+        # truncated to a multiple of process_count) — unequal shards would
+        # desynchronize the per-process jitted-step counts and hang/mix the
+        # collectives across epochs (review round 3)
+        return len(self.dataset) // self.process_count
 
     def __len__(self):
         n = self._shard_len() // self.batch_size
@@ -97,7 +100,8 @@ class DataLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
-        order = order[self.process_index :: self.process_count]
+        usable = len(order) // self.process_count * self.process_count
+        order = order[:usable][self.process_index :: self.process_count]
         for i in range(0, len(order), self.batch_size):
             idx = order[i : i + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:

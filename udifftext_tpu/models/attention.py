@@ -142,11 +142,14 @@ class GEGLUFeedForward(nn.Module):
 
         x = x.astype(self.dtype)  # Dense(dtype=...) promoted inputs likewise
         n = x.shape[1]
+        # n % 128 == 0 guarantees _geglu_fwd_impl's _pick_block finds a
+        # dividing block (review round 3: the old n % 256 gate admitted
+        # N=768/1280, which asserted inside the kernel at block_n=512)
         use_fused = (
             self.impl == "fused"
             or (self.impl == "auto"
                 and jax.default_backend() == "tpu"
-                and n % 256 == 0)
+                and n % 128 == 0)
         )
         if use_fused:
             from ..ops.geglu import geglu_ff

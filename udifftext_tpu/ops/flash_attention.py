@@ -111,6 +111,18 @@ def flash_attention(
     return _flash_fwd_impl(q, k, v, scale, block_q, block_k)[0]
 
 
+def _pick_block(n: int, preferred: int) -> int:
+    """Largest multiple-of-128 divisor of n that is ≤ preferred (n itself if
+    none exists — callers guarantee n % 128 == 0 via _flash_ok, but degrade
+    gracefully otherwise instead of asserting)."""
+    if n <= preferred:
+        return n
+    for cand in range(min(preferred, n) // 128 * 128, 0, -128):
+        if n % cand == 0:
+            return cand
+    return n
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
 def _flash_fwd_impl(
     q: Array,
@@ -123,8 +135,8 @@ def _flash_fwd_impl(
     b, nq, h, d = q.shape
     nk = k.shape[1]
     scale = d**-0.5 if scale is None else scale
-    block_q = min(block_q, nq)
-    block_k = min(block_k, nk)
+    block_q = _pick_block(nq, block_q)
+    block_k = _pick_block(nk, block_k)
     assert nq % block_q == 0 and nk % block_k == 0
 
     # (B, N, H, D) -> (B*H, N, D)
@@ -249,8 +261,8 @@ def _flash_bwd_kernel(
 def _flash_bwd_impl(q, k, v, out, l, g, scale, block_q=512, block_k=512):
     b, nq, h, d = q.shape
     nk = k.shape[1]
-    block_q = min(block_q, nq)
-    block_k = min(block_k, nk)
+    block_q = _pick_block(nq, block_q)
+    block_k = _pick_block(nk, block_k)
     assert nq % block_q == 0 and nk % block_k == 0
 
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, nq, d)
@@ -311,7 +323,11 @@ def _fa_bwd(scale, block_q, block_k, res, g):
     q, k, v, out, l = res
     d = q.shape[-1]
     s = d**-0.5 if scale is None else scale
-    dq, dk, dv = _flash_bwd_impl(q, k, v, out, l, g, s)
+    # the backward prefers 512-wide q chunks regardless of the forward's
+    # block_q (dq lives in a VMEM scratch); _pick_block degrades both to a
+    # divisor of the actual sequence length
+    dq, dk, dv = _flash_bwd_impl(q, k, v, out, l, g, s, block_q=min(block_q, 512),
+                                 block_k=block_k)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 

@@ -54,24 +54,24 @@ def _gelu_kernel_approx(x: Array) -> Array:
 
 def _geglu_kernel(
     x_ref, w1h_ref, b1h_ref, w1g_ref, b1g_ref, w2_ref, b2_ref, o_ref, acc_ref,
-    *, n_chunks: int,
+    *, n_chunks: int, precision,
 ):
     k = pl.program_id(2)
     x = x_ref[0]  # (bn, C)
 
     h = jax.lax.dot_general(
         x, w1h_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=precision,
     ) + b1h_ref[...].astype(jnp.float32)
     g = jax.lax.dot_general(
         x, w1g_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=precision,
     ) + b1g_ref[...].astype(jnp.float32)
     act = (h * _gelu_kernel_approx(g)).astype(x.dtype)  # (bn, kc)
 
     part = jax.lax.dot_general(
         act, w2_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=precision,
     )
 
     @pl.when(k == 0)
@@ -113,9 +113,13 @@ def geglu_ff(x: Array, w1: Array, b1: Array, w2: Array, b2: Array,
 
 @functools.partial(jax.jit, static_argnames=("block_n",))
 def _geglu_fwd_impl(x, w1, b1, w2, b2, block_n=512):
+    from .flash_attention import _pick_block
+
     b, n, c = x.shape
     inner = w2.shape[0]
-    block_n = min(block_n, n)
+    # largest multiple-of-128 divisor of n ≤ block_n — N=768/1280 etc. must
+    # get a dividing block, not an assert (review round 3)
+    block_n = _pick_block(n, block_n)
     assert n % block_n == 0, (n, block_n)
     dtype = x.dtype
 
@@ -130,8 +134,9 @@ def _geglu_fwd_impl(x, w1, b1, w2, b2, block_n=512):
     n_chunks = inner // chunk
     grid = (b, n // block_n, n_chunks)
 
+    precision = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
     return pl.pallas_call(
-        functools.partial(_geglu_kernel, n_chunks=n_chunks),
+        functools.partial(_geglu_kernel, n_chunks=n_chunks, precision=precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_n, c), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM),

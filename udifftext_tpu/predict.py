@@ -90,4 +90,14 @@ class JittedPredictor:
     def __call__(
         self, params, batch: Dict[str, Any], rng: jax.Array
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-        return self._jitted(params, self.array_batch(batch), rng)
+        arr_batch = self.array_batch(batch)
+        if self.mesh is not None:
+            n_data = self.mesh.shape.get("data", 1)
+            b = next(iter(arr_batch.values())).shape[0]
+            if b % n_data != 0:
+                raise ValueError(
+                    f"eval batch size {b} must be divisible by the data-mesh "
+                    f"axis ({n_data} devices) — raise batch_size in the test "
+                    f"config or disable eval_data_parallel"
+                )
+        return self._jitted(params, arr_batch, rng)
