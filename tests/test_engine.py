@@ -121,6 +121,50 @@ def test_sample_aae_detailed(engine_and_params):
     assert aux["local_losses"].shape == (3, 1)
 
 
+def test_sample_rectangular_latent(engine_and_params):
+    """Non-square inputs through the FULL default path — init-noise search,
+    AAE, and detailed maps all consume rectangular attention maps (review
+    round 3: the loss helpers assumed square isqrt(N) maps and crashed)."""
+    eng, params = engine_and_params
+    b, H, W = 1, IMG, IMG * 2
+    rng = np.random.RandomState(1)
+    mask = np.zeros((b, H, W, 1), np.float32)
+    mask[:, 8:24, 16:48] = 1.0
+    seg = np.zeros((b, H, W, SEQ), np.float32)
+    seg[:, 10:20, 20:28, 0] = 1.0
+    seg_mask = np.zeros((b, SEQ), np.float32)
+    seg_mask[:, :1] = 1.0
+    image = rng.randn(b, H, W, 3).astype(np.float32).clip(-1, 1)
+    batch = {
+        "image": jnp.asarray(image),
+        "masked": jnp.asarray(image * (1 - mask)),
+        "mask": jnp.asarray(mask),
+        "seg": jnp.asarray(seg),
+        "seg_mask": jnp.asarray(seg_mask),
+        "label_ids": jnp.asarray(charset.encode_labels(["a"] * b, SEQ)),
+    }
+    img, aux = eng.sample(
+        params, batch, jax.random.PRNGKey(5), num_steps=2, noise_iters=1,
+        aae_enabled=True, detailed=True,
+    )
+    assert img.shape == (b, H, W, 3)
+    assert np.all(np.isfinite(np.asarray(img)))
+    # training loss too (local loss over rectangular seg maps)
+    loss, _ = eng.loss(params, batch, jax.random.PRNGKey(6))
+    assert np.isfinite(float(loss))
+
+
+def test_parseq_tokenizer_truncates_long_labels():
+    """Fixed-width encode must truncate, not overflow (review round 3)."""
+    from udifftext_tpu.models.parseq import ParseqTokenizer
+
+    tok = ParseqTokenizer()
+    out = tok.encode(["a" * 40, "ab"], max_length=25)
+    assert out.shape == (2, 27)
+    assert out[0, 0] == tok.bos_id and out[0, 26] == tok.eos_id
+    assert tok.decode_ids(out[:, 1:])[0] == "a" * 25
+
+
 def test_jitted_predictor_single_compile(engine_and_params):
     """The whole predict pipeline compiles exactly once for a fixed shape
     signature and is reused across batches (VERDICT r1 item 3)."""

@@ -158,8 +158,14 @@ def train(cfgs):
                     t0 = time.time()
                 img_freq = int(cfgs.get("log_images_freq", 0))
                 if img_freq and global_step % img_freq == 0:
+                    # sample with EMA weights when enabled — the reference
+                    # plots under ema_scope (diffusion.py:322)
+                    log_params = (
+                        state.ema_params if state.ema_params is not None
+                        else state.params
+                    )
                     save_image_logs(
-                        engine, state.params, dev_batch, sub,
+                        engine, log_params, dev_batch, sub,
                         os.path.join(str(cfgs.get("log_dir", "./logs")), "images"),
                         global_step,
                         num_steps=int(cfgs.get("log_images_steps", 20)),

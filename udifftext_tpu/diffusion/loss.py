@@ -67,15 +67,24 @@ def interpolate_nearest_torch(x: Array, size: Tuple[int, int]) -> Array:
     return x[:, rows][:, :, cols]
 
 
+def _attn_hw(n: int, img_h: int, img_w: int) -> Tuple[int, int]:
+    """Spatial shape of an N-token attention map given the conditioning
+    image's aspect ratio (square inputs → (isqrt(n), isqrt(n)); rectangular
+    latents — engine.sample(latent_hw=...) — scale both axes)."""
+    h = max(int(round(math.sqrt(n * img_h / img_w))), 1)
+    while n % h:
+        h -= 1
+    return h, n // h
+
+
 def _layer_attn_to_blurred(
-    attn_map: Array, seg_l: int, kernel: Array
-) -> Tuple[Array, int]:
-    """(B, heads, N, L) → blurred (B, size, size, seg_l); returns (maps, size)."""
+    attn_map: Array, seg_l: int, kernel: Array, hw: Tuple[int, int]
+) -> Array:
+    """(B, heads, N, L) → blurred (B, h, w, seg_l)."""
     b, heads, n, l = attn_map.shape
-    size = int(math.isqrt(n))
     m = attn_map[..., :seg_l].mean(axis=1)  # (B, N, seg_l) after head mean
-    m = m.reshape(b, size, size, seg_l)
-    return gaussian_blur_depthwise(m, kernel), size
+    m = m.reshape(b, hw[0], hw[1], seg_l)
+    return gaussian_blur_depthwise(m, kernel)
 
 
 def local_loss(
@@ -95,11 +104,11 @@ def local_loss(
         if not name.endswith("t_attn"):
             continue
         amap = attn_maps[name].astype(jnp.float32)
-        size = int(math.isqrt(amap.shape[2]))
-        if size < min_attn_size:
+        hw = _attn_hw(amap.shape[2], seg.shape[1], seg.shape[2])
+        if min(hw) < min_attn_size:
             continue
-        blurred, size = _layer_attn_to_blurred(amap, seg_l, kernel)
-        seg_map = interpolate_nearest_torch(seg, (size, size)).astype(jnp.float32)
+        blurred = _layer_attn_to_blurred(amap, seg_l, kernel, hw)
+        seg_map = interpolate_nearest_torch(seg, hw).astype(jnp.float32)
         b = blurred.reshape(blurred.shape[0], -1, seg_l)  # (B, N, L)
         s = seg_map.reshape(seg_map.shape[0], -1, seg_l)
         p_loss = jnp.max(s * b, axis=1)  # (B, L)
@@ -130,11 +139,11 @@ def min_local_loss(
         if not name.endswith("t_attn"):
             continue
         amap = attn_maps[name].astype(jnp.float32)
-        size = int(math.isqrt(amap.shape[2]))
-        if size < min_attn_size:
+        hw = _attn_hw(amap.shape[2], mask.shape[1], mask.shape[2])
+        if min(hw) < min_attn_size:
             continue
-        blurred, size = _layer_attn_to_blurred(amap, seg_l, kernel)
-        mask_map = interpolate_nearest_torch(mask, (size, size)).astype(jnp.float32)
+        blurred = _layer_attn_to_blurred(amap, seg_l, kernel, hw)
+        mask_map = interpolate_nearest_torch(mask, hw).astype(jnp.float32)
         b = blurred.reshape(blurred.shape[0], -1, seg_l)
         m = mask_map.reshape(mask_map.shape[0], -1, 1)
         p = jnp.max(m * b, axis=1)  # (B, L)

@@ -172,7 +172,9 @@ class DiffusionEngine:
 
         def score(randn):
             x = SP.init_latent(randn, sigmas)
-            loss = jnp.zeros((shape[0],), jnp.float32)
+            # a candidate is scored by the LAST rollout step's min-local loss
+            # only (reference local_losses[-1], sampling.py:301-318) — the
+            # earlier step's loss is intentionally discarded
             for i in range(2):
                 sigma = jnp.full((shape[0],), sigmas[i], x.dtype)
                 next_sigma = jnp.full((shape[0],), sigmas[i + 1], x.dtype)
@@ -209,11 +211,15 @@ class DiffusionEngine:
 
         sigma_q = self.denoiser.quantize_sigma(sigma)
         sigma_b = append_dims(sigma_q, x.ndim)
-        _, _, c_in, c_noise = self.denoiser.scale(sigma_b)
+        _, _, _c_in, c_noise = self.denoiser.scale(sigma_b)
         c_noise = self.denoiser.quantize_c_noise(c_noise.reshape(sigma.shape))
 
         def loss_fn(xx):
-            _, aux = network(xx * c_in, c_noise, c)
+            # the reference feeds RAW x to the wrapped UNet here (sampling.py
+            # :243 model.model(x, c_noise, cond)) — NOT the c_in-scaled input
+            # the denoiser would use; the AAE alpha/threshold calibration
+            # assumes that loss surface
+            _, aux = network(xx, c_noise, c)
             ll = L.min_local_loss(aux, mask, seg_mask, kernel, self.loss_cfg.min_attn_size)
             return jnp.sum(ll)
 
@@ -317,7 +323,7 @@ class DiffusionEngine:
         mid = (num_sigmas - 1) // 2
 
         # template for the captured middle-step maps
-        map_shapes = self._attn_map_shapes(bsz, x.shape[1] * x.shape[2], c)
+        map_shapes = self._attn_map_shapes(bsz, (x.shape[1], x.shape[2]), c)
 
         def step(carry, xs):
             x, saved = carry
@@ -384,35 +390,38 @@ class DiffusionEngine:
             log["samples"] = imgs * 2.0 - 1.0
         return log
 
-    def _attn_map_shapes(self, b: int, n_latent: int, cond) -> Dict[str, Tuple[int, ...]]:
-        """Static shapes of the t_attn maps the UNet emits (for scan carries)."""
+    def _attn_map_shapes(
+        self, b: int, latent_hw: Tuple[int, int], cond
+    ) -> Dict[str, Tuple[int, ...]]:
+        """Static shapes of the t_attn maps the UNet emits (for scan carries).
+        Handles rectangular latents (engine.sample(latent_hw=...))."""
         plan = self.unet.plan
         l = cond["t_crossattn"].shape[1]
         shapes = {}
 
         # derive sizes by replaying the plan's downsampling structure
-        size = int(np.sqrt(n_latent))
         ds_sizes = {}
-        cur = size
+        cur_h, cur_w = latent_hw
         ds = 1
-        ds_sizes[ds] = cur
+        ds_sizes[ds] = cur_h * cur_w
         for _ in range(len(self.unet.channel_mult) - 1):
             ds *= 2
-            cur //= 2
-            ds_sizes[ds] = cur
+            cur_h //= 2
+            cur_w //= 2
+            ds_sizes[ds] = cur_h * cur_w
 
         for i, block in enumerate(plan.input_blocks):
             for j, spec in enumerate(block):
                 if spec.kind == "attn":
-                    s = ds_sizes[spec.ds]
-                    shapes[f"input_blocks.{i}.{j}.t_attn"] = (b, spec.heads, s * s, l)
+                    n = ds_sizes[spec.ds]
+                    shapes[f"input_blocks.{i}.{j}.t_attn"] = (b, spec.heads, n, l)
         for j, spec in enumerate(plan.middle_block):
             if spec.kind == "attn":
-                s = ds_sizes[spec.ds]
-                shapes[f"middle_block.{j}.t_attn"] = (b, spec.heads, s * s, l)
+                n = ds_sizes[spec.ds]
+                shapes[f"middle_block.{j}.t_attn"] = (b, spec.heads, n, l)
         for i, block in enumerate(plan.output_blocks):
             for j, spec in enumerate(block):
                 if spec.kind == "attn":
-                    s = ds_sizes[spec.ds]
-                    shapes[f"output_blocks.{i}.{j}.t_attn"] = (b, spec.heads, s * s, l)
+                    n = ds_sizes[spec.ds]
+                    shapes[f"output_blocks.{i}.{j}.t_attn"] = (b, spec.heads, n, l)
         return shapes

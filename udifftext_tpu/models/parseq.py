@@ -55,7 +55,11 @@ class ParseqTokenizer:
         """(B, max_length + 2) int32: [BOS, chars, EOS, PAD...]."""
         out = np.full((len(labels), max_length + 2), self.pad_id, np.int32)
         for i, y in enumerate(labels):
-            ids = [self.bos_id] + [self.stoi[c] for c in y if c in self.stoi] + [self.eos_id]
+            chars = [self.stoi[c] for c in y if c in self.stoi]
+            # fixed-width encode: truncate over-long labels instead of
+            # overflowing the row (the reference pads to the batch max and
+            # never over-runs; labels are normally pre-filtered to max_length)
+            ids = [self.bos_id] + chars[:max_length] + [self.eos_id]
             out[i, : len(ids)] = ids
         return out
 

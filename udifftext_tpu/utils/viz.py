@@ -39,8 +39,12 @@ def average_attn_maps(
     stack = np.stack(picked, axis=0)  # (n_layers, B, H, N, L)
     avg = stack.mean(axis=(0, 2))  # (B, N, L)
     b, n, l = avg.shape
-    size = int(np.sqrt(n))
-    return avg.transpose(0, 2, 1).reshape(b, l, size, size)
+    # square for the reference's 512² runs; nearest-divisor split keeps
+    # rectangular-latent runs from crashing the visualization
+    h = int(np.sqrt(n))
+    while n % h:
+        h -= 1
+    return avg.transpose(0, 2, 1).reshape(b, l, h, n // h)
 
 
 def save_attn_map_grid(
