@@ -406,3 +406,83 @@ def test_train_step_ocr_loss(workspace):
     assert "loss/ocr_loss" in loss_dict
     o = float(loss_dict["loss/ocr_loss"])
     assert np.isfinite(o) and 0.0 <= o <= 1.0 + 1e-6
+
+
+def test_shipped_graph_gate_rejects_overrides():
+    """The fused-Conditioner fast path must only claim configs it encodes
+    exactly; overrides route to GeneralConditioner (review round 3)."""
+    from udifftext_tpu.builders import _is_shipped_graph
+
+    shipped = [
+        {"target": "sgm.modules.encoders.modules.LabelEncoder",
+         "ucg_rate": 0.1, "input_key": "label", "params": {}},
+        {"target": "sgm.modules.encoders.modules.SpatialRescaler",
+         "input_key": "mask", "params": {"multiplier": 0.125}},
+        {"target": "sgm.modules.encoders.modules.LatentEncoder",
+         "input_key": "masked", "params": {}},
+    ]
+    assert _is_shipped_graph(shipped)
+
+    import copy
+
+    reordered = [shipped[1], shipped[0], shipped[2]]
+    assert not _is_shipped_graph(reordered)
+
+    for mutate in (
+        lambda e: e[0].update(emb_key="v_crossattn"),
+        lambda e: e[0].update(is_trainable=True),
+        lambda e: e[2].update(ucg_rate=0.1),
+        lambda e: e[1].update(input_key="image"),
+        lambda e: e[1]["params"].update(n_stages=3),
+        lambda e: e[1]["params"].update(out_channels=4),
+    ):
+        cfg = copy.deepcopy(shipped)
+        mutate(cfg)
+        assert not _is_shipped_graph(cfg), mutate
+
+
+def test_fast_path_defaults_match_reference_classes():
+    """Omitted ucg_rate / multiplier fall back to the reference class
+    defaults (0.0 / 0.5), not the shipped-YAML values (review round 3)."""
+    import jax.numpy as jnp
+
+    from udifftext_tpu.builders import build_diffusion_engine
+
+    cfg = {
+        "network_config": {"params": {
+            "model_channels": 32, "num_res_blocks": 1,
+            "attention_resolutions": [2, 1], "channel_mult": [1, 2],
+            "num_head_channels": 8, "t_context_dim": 32,
+        }},
+        "first_stage_config": {"params": {"ddconfig": {
+            "ch": 32, "out_ch": 3, "ch_mult": [1, 2], "num_res_blocks": 1,
+            "attn_resolutions": [], "in_channels": 3, "resolution": 32,
+            "z_channels": 4, "double_z": True,
+        }, "embed_dim": 4}},
+        "conditioner_config": {"params": {"emb_models": [
+            {"target": "x.LabelEncoder", "input_key": "label",
+             "params": {"max_len": 12, "emb_dim": 32, "n_heads": 4,
+                        "n_trans_layers": 2}},
+            {"target": "x.SpatialRescaler", "input_key": "mask", "params": {}},
+            {"target": "x.LatentEncoder", "input_key": "masked", "params": {}},
+        ]}},
+    }
+    bundle = build_diffusion_engine(cfg, unet_dtype=jnp.float32)
+    assert bundle.engine.general_conditioner is None  # fast path claimed it
+    assert bundle.engine.ucg_rate_label == 0.0
+    assert bundle.engine.mask_multiplier == 0.5
+
+
+def test_charseg_channels_truncate_and_pad():
+    """seg channel stacks are exactly seq_len even for over-long text."""
+    import numpy as np
+
+    from udifftext_tpu.data.augment import charseg_from_values
+
+    seg_rgb = np.zeros((16, 16, 3), np.uint8)
+    seg_rgb[2:6, 2:6] = 10
+    seg_rgb[2:6, 8:12] = 20
+    out = charseg_from_values(seg_rgb, "ababab", [10, 20] * 3, seq_len=4)
+    assert out.shape == (4, 16, 16)
+    out2 = charseg_from_values(seg_rgb, "ab", [10, 20], seq_len=5)
+    assert out2.shape == (5, 16, 16)

@@ -118,11 +118,32 @@ def build_label_encoder(params: Dict[str, Any], dtype=jnp.float32) -> LabelEncod
 
 
 def _is_shipped_graph(emb_models) -> bool:
-    """True when emb_models is exactly the shipped 3-embedder graph
-    (LabelEncoder + SpatialRescaler + LatentEncoder) — served by the
-    specialized fused Conditioner fast path."""
-    targets = sorted(e.get("target", "").rsplit(".", 1)[-1] for e in emb_models)
-    return targets == ["LabelEncoder", "LatentEncoder", "SpatialRescaler"]
+    """True when emb_models is exactly the shipped 3-embedder graph in the
+    shipped ORDER with no routing overrides — the only shape the fused
+    Conditioner fast path encodes (label→t_crossattn ucg-dropout, then
+    concat = [mask(1ch), latent(4ch)]). Anything else (reordered entries,
+    emb_key / input_key / is_trainable overrides, ucg on the mask/latent
+    embedders, multi-stage rescaler) must route through the general
+    GeneralConditioner path, not silently lose its params (review round 3)."""
+    targets = [e.get("target", "").rsplit(".", 1)[-1] for e in emb_models]
+    if targets != ["LabelEncoder", "SpatialRescaler", "LatentEncoder"]:
+        return False
+    default_keys = {"LabelEncoder": ("label", "label_ids", ""),
+                    "SpatialRescaler": ("mask", ""),
+                    "LatentEncoder": ("masked", "")}
+    for e, tgt in zip(emb_models, targets):
+        if e.get("emb_key") or e.get("is_trainable"):
+            return False
+        if e.get("input_key", "") not in default_keys[tgt]:
+            return False
+        if tgt != "LabelEncoder" and float(e.get("ucg_rate", 0.0)) != 0.0:
+            return False
+        p = e.get("params", {}) or {}
+        if tgt == "SpatialRescaler" and (
+            int(p.get("n_stages", 1)) != 1 or p.get("out_channels")
+        ):
+            return False
+    return True
 
 
 def build_general_conditioner(
@@ -178,10 +199,17 @@ def build_general_conditioner(
                                           ucg, emb_key, trainable, init_sr))
             else:
                 method = p.get("method", "bilinear")
+                n_stages = int(p.get("n_stages", 1))
 
                 def apply_sr(params, batch, rng, _m=mult, _k=input_key or "mask",
-                             _meth=method):
-                    return spatial_rescale(batch[_k], _m, method=_meth)
+                             _meth=method, _n=n_stages):
+                    # the reference applies the rescale n_stages times
+                    # (modules.py:842-845) — staged bilinear halving differs
+                    # numerically from one direct resize
+                    x = batch[_k]
+                    for _ in range(_n):
+                        x = spatial_rescale(x, _m, method=_meth)
+                    return x
 
                 specs.append(EmbedderSpec(name, apply_sr, input_key or "mask",
                                           ucg, emb_key or "concat", trainable))
@@ -269,20 +297,26 @@ def build_diffusion_engine(model_cfg: Dict[str, Any], unet_dtype=jnp.bfloat16) -
 
     label_params: Dict[str, Any] = {}
     label_ckpt = None
-    vae_ckpt = _get(p.get("first_stage_config"), "params", {}).get("ckpt_path")
-    ucg_rate = 0.1
-    mask_multiplier = 0.125
-    for emb in _get(p.get("conditioner_config"), "params", {}).get("emb_models", []):
+    vae_ckpt = (_get(p.get("first_stage_config"), "params", {}) or {}).get("ckpt_path")
+    # defaults match the reference classes when a config omits the keys:
+    # GeneralConditioner ucg_rate 0.0 (modules.py:181), SpatialRescaler
+    # multiplier 0.5 (modules.py:805) — the shipped YAML sets 0.1 / 0.125
+    # explicitly (textdesign_sd_2.yaml:47,62)
+    ucg_rate = 0.0
+    mask_multiplier = 0.5
+    emb_models = (_get(p.get("conditioner_config"), "params", {}) or {}).get(
+        "emb_models", []
+    ) or []
+    for emb in emb_models:
         if "LabelEncoder" in emb.get("target", ""):
             label_params = emb.get("params", {}) or {}
             label_ckpt = label_params.get("ckpt_path")
-            ucg_rate = emb.get("ucg_rate", 0.1)
+            ucg_rate = emb.get("ucg_rate", 0.0)
         if "SpatialRescaler" in emb.get("target", ""):
-            mask_multiplier = (emb.get("params", {}) or {}).get("multiplier", 0.125)
+            mask_multiplier = (emb.get("params", {}) or {}).get("multiplier", 0.5)
     label_encoder = build_label_encoder(label_params)
     latent_factor = 2 ** (len(vae.cfg.ch_mult) - 1)
 
-    emb_models = _get(p.get("conditioner_config"), "params", {}).get("emb_models", [])
     general_conditioner = None
     if emb_models and not _is_shipped_graph(emb_models):
         general_conditioner = build_general_conditioner(
@@ -312,7 +346,9 @@ def build_diffusion_engine(model_cfg: Dict[str, Any], unet_dtype=jnp.bfloat16) -
         from .ocr import ParseqPredictor
 
         ocr_predictor = ParseqPredictor()
-        parseq_ckpt = _get(loss_p.get("predictor_config"), "params", {}).get("ckpt_path")
+        parseq_ckpt = (
+            _get(loss_p.get("predictor_config"), "params", {}) or {}
+        ).get("ckpt_path")
 
     samp_p = _get(p.get("sampler_config"), "params", {}) or {}
     guider_p = _get(samp_p.get("guider_config"), "params", {}) or {}

@@ -14,7 +14,7 @@ feeds fixed-shape NHWC batches to the jitted pipeline (SURVEY.md §7).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import cv2
 import numpy as np
@@ -131,6 +131,16 @@ def denoise_dilate(seg_i: np.ndarray, open_iters: int, dilate_iters: int) -> np.
     return seg_i
 
 
+def _pad_truncate_channels(segs: List[np.ndarray], seq_len: int) -> np.ndarray:
+    """Stack per-character channels to EXACTLY seq_len: zero-pad short lists
+    and truncate over-long text (a user config with seq_len < word_len max
+    previously returned len(text) channels, desynchronizing seg from the
+    (seq_len,) seg_mask — review round 3)."""
+    segs = segs[:seq_len]
+    segs = segs + [np.zeros_like(segs[0]) for _ in range(seq_len - len(segs))]
+    return np.concatenate(segs, axis=0)
+
+
 def charseg_from_ids(
     seg: np.ndarray, text: str, seq_len: int
 ) -> Optional[np.ndarray]:
@@ -148,6 +158,9 @@ def charseg_from_ids(
     for ch, positions in ch_positions.items():
         ind = CHARSET.find(ch) + 1
         ind_l = CHARSET.find(ch.lower()) + 1
+        # uint8 SUM, not union: for single-case characters ind == ind_l so
+        # the channel holds value 2, exactly as the reference builds it
+        # (dataloader.py:822) — its FullLoss consumes these doubled masks
         seg_i = (seg == ind).astype(np.uint8) + (seg == ind_l).astype(np.uint8)
         seg_i = denoise_dilate(seg_i, open_iters=1, dilate_iters=5)
 
@@ -164,8 +177,7 @@ def charseg_from_ids(
             s_mask[y : y + h, x : x + w] = 1
             segs[positions[idx]] = (seg_i * s_mask)[None]
 
-    segs_f = [s for s in segs] + [np.zeros_like(segs[0]) for _ in range(seq_len - len(segs))]
-    return np.concatenate(segs_f, axis=0)
+    return _pad_truncate_channels(segs, seq_len)
 
 
 def charseg_from_values(
@@ -174,19 +186,19 @@ def charseg_from_values(
     """TextSeg per-character channels from per-char mask values (:410-422).
 
     Position-unaware: a character's channel is the union over all positions
-    of that character (matching the reference)."""
-    segs = []
-    for i, ch in enumerate(text):
+    of that character (matching the reference). The (identical) channel of a
+    repeated character is computed once and shared across its positions."""
+    by_char: Dict[str, np.ndarray] = {}
+    for ch in dict.fromkeys(text):
         indices = [j for j, c in enumerate(text) if c == ch]
         seg_i = np.sum(
             [(seg_rgb == seg_values[j]).astype(np.uint8).mean(axis=-1) for j in indices],
             axis=0,
         )
         seg_i = np.clip(seg_i, 0, 1).astype(np.float32)
-        seg_i = denoise_dilate(seg_i, open_iters=2, dilate_iters=7)
-        segs.append(seg_i[None])
-    segs = segs + [np.zeros_like(segs[0]) for _ in range(seq_len - len(segs))]
-    return np.concatenate(segs, axis=0)
+        by_char[ch] = denoise_dilate(seg_i, open_iters=2, dilate_iters=7)[None]
+    segs = [by_char[ch] for ch in text]
+    return _pad_truncate_channels(segs, seq_len)
 
 
 def charseg_from_boxes(
@@ -203,5 +215,4 @@ def charseg_from_boxes(
         segs.append(seg_i[None])
         seg_sum += seg_i.sum()
     ratio = float(seg_sum / max(len(segs), 1)) / (shape_hw[0] * shape_hw[1])
-    segs = segs + [np.zeros_like(segs[0]) for _ in range(seq_len - len(segs))]
-    return np.concatenate(segs, axis=0), ratio
+    return _pad_truncate_channels(segs, seq_len), ratio
