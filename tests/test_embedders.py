@@ -23,9 +23,12 @@ def test_class_embedder_shapes_and_ucg():
     out = m.apply(params, jnp.asarray([1, 2]))
     assert out.shape == (2, 16)
     # ucg_rate=1.0 with rng → every id replaced by the unconditional class
+    # (the LAST configured id, reference uc_class = n_classes - 1)
     out_uc = m.apply(params, jnp.asarray([1, 2]), rng=jax.random.PRNGKey(1))
-    emb_uc = m.apply(params, jnp.asarray([10, 10]))
+    emb_uc = m.apply(params, jnp.asarray([9, 9]))
     np.testing.assert_allclose(np.asarray(out_uc), np.asarray(emb_uc), atol=1e-6)
+    # the table has exactly n_classes rows (torch weights load 1:1)
+    assert params["params"]["Embed_0"]["embedding"].shape == (10, 16)
     m2 = ClassEmbedder(embed_dim=8, n_classes=4, add_sequence_dim=True)
     p2 = m2.init(jax.random.PRNGKey(0), jnp.zeros((3,), jnp.int32))
     assert m2.apply(p2, jnp.zeros((3,), jnp.int32)).shape == (3, 1, 8)

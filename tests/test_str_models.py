@@ -80,3 +80,57 @@ def test_str_eval_metrics():
     assert res.correct == 1
     assert res.num_samples == 2
     assert 0 < res.mean_1_minus_ned < 100
+
+
+def test_create_model_vitstr_loads_classifier_head(monkeypatch):
+    """create_model('vitstr', ckpt) must map the strhub ckpt's model.head.*
+    into the ViTSTRSystem params — convert_vit alone drops it and apply then
+    dies on the missing Dense('head') (review round 3)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from udifftext_tpu.models import str_hub
+
+    rng = np.random.RandomState(0)
+    d, heads, depth, ncls = 32, 2, 1, 95
+    n_tok = (32 // 4) * (128 // 8) + 1
+    sd = {
+        "model.pos_embed": rng.randn(1, n_tok, d).astype(np.float32),
+        "model.cls_token": rng.randn(1, 1, d).astype(np.float32),
+        "model.patch_embed.proj.weight": rng.randn(d, 3, 4, 8).astype(np.float32),
+        "model.patch_embed.proj.bias": rng.randn(d).astype(np.float32),
+        "model.norm.weight": np.ones(d, np.float32),
+        "model.norm.bias": np.zeros(d, np.float32),
+        "model.head.weight": rng.randn(ncls, d).astype(np.float32),
+        "model.head.bias": rng.randn(ncls).astype(np.float32),
+    }
+    for i in range(depth):
+        b = f"model.blocks.{i}."
+        sd.update({
+            b + "norm1.weight": np.ones(d, np.float32),
+            b + "norm1.bias": np.zeros(d, np.float32),
+            b + "attn.qkv.weight": rng.randn(3 * d, d).astype(np.float32),
+            b + "attn.qkv.bias": rng.randn(3 * d).astype(np.float32),
+            b + "attn.proj.weight": rng.randn(d, d).astype(np.float32),
+            b + "attn.proj.bias": rng.randn(d).astype(np.float32),
+            b + "norm2.weight": np.ones(d, np.float32),
+            b + "norm2.bias": np.zeros(d, np.float32),
+            b + "mlp.fc1.weight": rng.randn(4 * d, d).astype(np.float32),
+            b + "mlp.fc1.bias": rng.randn(4 * d).astype(np.float32),
+            b + "mlp.fc2.weight": rng.randn(d, 4 * d).astype(np.float32),
+            b + "mlp.fc2.bias": rng.randn(d).astype(np.float32),
+        })
+    monkeypatch.setattr(str_hub, "load_torch_state_dict", lambda p: sd)
+
+    model, params = str_hub.create_model(
+        "vitstr", "dummy.pth", embed_dim=d, depth=depth, num_heads=heads,
+        num_classes=ncls,
+    )
+    assert "head" in params["params"], sorted(params["params"])
+    out = model.apply(params, jnp.zeros((1, 32, 128, 3)))
+    assert out.shape == (1, 26, ncls)
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["head"]["Dense_0"]["kernel"]),
+        sd["model.head.weight"].T, atol=0,
+    )

@@ -73,8 +73,14 @@ def test_trba_torch_parity():
     g = torch.Generator().manual_seed(9)
     with torch.no_grad():
         for n, p in tm.named_parameters():
-            if "localization_fc2" in n:
-                continue  # keep the RARE fiducial-grid init
+            if "localization_fc2.bias" in n:
+                continue  # keep the RARE canonical-fiducial bias init
+            if "localization_fc2.weight" in n:
+                # small NONZERO weights → non-affine predicted fiducials, so
+                # the TPS rbf term actually participates (a zero fc2 weight
+                # makes fiducials affine and hid a wrong rbf factor)
+                p.copy_(torch.randn(p.shape, generator=g) * 0.01)
+                continue
             p.copy_(torch.randn(p.shape, generator=g) * 0.05)
 
     sd = {f"model.{k}": v.detach().numpy() for k, v in tm.state_dict().items()}

@@ -63,6 +63,22 @@ def region_draw_text(
     return out
 
 
+def _resolve_font(cfgs) -> Optional[str]:
+    """font_path from config, else the bundled-arial location, else
+    matplotlib's DejaVu Sans — so `rendered` is present consistently across
+    datasets (the reference emits it from ICDAR13 and TextSeg,
+    dataloader.py:266,467; a missing font silently dropped the key here)."""
+    p = cfgs.get("font_path", ospj(os.path.dirname(__file__), "assets", "arial.ttf"))
+    if os.path.exists(p):
+        return p
+    try:
+        import matplotlib.font_manager as fm
+
+        return fm.findfont("DejaVu Sans")
+    except Exception:
+        return None
+
+
 def _finalize(
     image: np.ndarray,
     mask: np.ndarray,
@@ -191,12 +207,10 @@ class ICDAR13Dataset(_SceneTextDataset):
         image, mask, _, bbox = A.zoom_to_mask(image, mask, bbox, area, self.mask_min_ratio)
         image, mask, r_bbox, _ = A.resize_all(image, mask, bbox, self.H, self.W)
 
-        font_path = self.cfgs.get(
-            "font_path", ospj(os.path.dirname(__file__), "assets", "arial.ttf")
-        )
+        font_path = _resolve_font(self.cfgs)
         rendered = (
             region_draw_text(self.H, self.W, r_bbox, text, font_path)
-            if os.path.exists(font_path)
+            if font_path
             else None
         )
         return _finalize(
@@ -273,9 +287,15 @@ class TextSegDataset(_SceneTextDataset):
         image, mask, r_bbox, seg_lhw = A.resize_all(
             image, mask, bbox, self.H, self.W, seg_lhw=seg_lhw
         )
+        font_path = _resolve_font(self.cfgs)
+        rendered = (
+            region_draw_text(self.H, self.W, r_bbox, sub_text, font_path)
+            if font_path
+            else None
+        )
         return _finalize(
             image, mask, r_bbox, sub_text, self.seq_len, str(self.count), (h, w),
-            self.H, self.W, seg_lhw=seg_lhw,
+            self.H, self.W, seg_lhw=seg_lhw, rendered=rendered,
         )
 
 

@@ -97,7 +97,12 @@ def generator_loss(
     xrec = decode(vae_params)
     nll_loss, rec_loss = _nll(cfg, x, xrec, logvar, perceptual_fn)
 
-    logits_fake = disc.apply(disc_vars, xrec, train=False)
+    # the torch discriminator stays in train() during the generator step, so
+    # its BatchNorms see BATCH statistics (use_actnorm=False,
+    # losses/__init__.py:121) — running stats near init would distort g_loss
+    # and the adaptive weight early in training. Stat updates are discarded
+    # (mutable=[]): the running stats advance in the discriminator's own step.
+    logits_fake, _ = disc.apply(disc_vars, xrec, train=True, mutable=["batch_stats"])
     g_loss = -jnp.mean(logits_fake)
 
     # adaptive weight via grads of both scalars w.r.t. the decoder's last
@@ -122,7 +127,9 @@ def generator_loss(
     if cfg.disc_factor > 0.0:
         nll_g = last_layer_grad(lambda xr: _nll(cfg, x, xr, logvar, perceptual_fn)[0])
         gan_g = last_layer_grad(
-            lambda xr: -jnp.mean(disc.apply(disc_vars, xr, train=False))
+            lambda xr: -jnp.mean(
+                disc.apply(disc_vars, xr, train=True, mutable=["batch_stats"])[0]
+            )
         )
         d_weight = jnp.linalg.norm(nll_g.reshape(-1)) / (
             jnp.linalg.norm(gan_g.reshape(-1)) + 1e-4

@@ -44,8 +44,11 @@ class ClassEmbedder(nn.Module):
     def __call__(self, c: Array, rng: Optional[jax.Array] = None) -> Array:
         if rng is not None and self.ucg_rate > 0.0:
             keep = jax.random.bernoulli(rng, 1.0 - self.ucg_rate, c.shape)
-            c = jnp.where(keep, c, self.n_classes)  # extra id = unconditional
-        emb = nn.Embed(self.n_classes + 1, self.embed_dim, param_dtype=jnp.float32)(c)
+            # the reference reserves the LAST configured class as the ucg id
+            # (uc_class = n_classes - 1, modules.py:269-272) — the table has
+            # exactly n_classes rows so torch weights load 1:1
+            c = jnp.where(keep, c, self.n_classes - 1)
+        emb = nn.Embed(self.n_classes, self.embed_dim, param_dtype=jnp.float32)(c)
         if self.add_sequence_dim:
             emb = emb[:, None, :]
         return emb

@@ -65,10 +65,24 @@ def create_model(name: str, ckpt_path: Optional[str] = None, **overrides):
             conv = convert_trba(load_torch_state_dict(ckpt_path))
             params = {"params": conv["params"], "batch_stats": conv["batch_stats"]}
         elif name == "vitstr":
+            import numpy as np
+
             from ..utils.ckpt_torch import convert_vit
 
-            conv = convert_vit(load_torch_state_dict(ckpt_path), prefix="model.")
-            params = {"params": {"vit": conv["params"]}}
+            sd = load_torch_state_dict(ckpt_path)
+            conv = convert_vit(sd, prefix="model.")
+            p = {"vit": conv["params"]}
+            # the strhub ViTSTR ckpt carries the classifier as model.head.*;
+            # convert_vit (pure encoder) routes it to `unknown` — without it
+            # ViTSTRSystem.apply dies on the missing Dense("head") params
+            hw = sd.get("model.head.weight")
+            hb = sd.get("model.head.bias")
+            if hw is not None:
+                p["head"] = {"Dense_0": {
+                    "kernel": np.ascontiguousarray(np.asarray(hw).T),
+                    "bias": np.asarray(hb),
+                }}
+            params = {"params": p}
         elif name == "abinet":
             from ..utils.ckpt_torch import convert_abinet
 

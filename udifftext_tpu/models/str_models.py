@@ -113,9 +113,9 @@ class CRNN(nn.Module):
         return h.astype(jnp.float32)
 
 
-def ctc_greedy_decode(logits: Array, blank_id: int = 0):
-    """Best-path CTC decode ids (strhub CTCTokenizer._filter semantics are
-    applied host-side: collapse repeats, drop blanks)."""
+def ctc_greedy_decode(logits: Array):
+    """Best-path per-frame argmax; blank/repeat handling happens in
+    ctc_collapse (strhub CTCTokenizer._filter semantics, host-side)."""
     return jnp.argmax(logits, axis=-1)
 
 

@@ -80,7 +80,10 @@ def build_tps_constants(F: int, out_h: int, out_w: int) -> Tuple[np.ndarray, np.
     n = P.shape[0]
     diff = P[:, None] - C[None]  # (n, F, 2)
     rbf_norm = np.linalg.norm(diff, axis=2, keepdims=True)
-    rbf = 2 * np.square(rbf_norm) * np.log(rbf_norm + 1e-6)
+    # r²·log(r+eps) — transformation.py:156 (NOT 2·r²·log r; the factor-2
+    # variant was only invisible because zero-init fc2 makes the fiducials
+    # affine, zeroing every rbf coefficient)
+    rbf = np.square(rbf_norm) * np.log(rbf_norm + 1e-6)
     P_hat = np.concatenate([np.ones((n, 1)), P, rbf[..., 0]], axis=1)
     return inv_delta_C.astype(np.float32), P_hat.astype(np.float32)
 
@@ -148,8 +151,10 @@ class BasicBlock(nn.Module):
         h = nn.relu(h)
         h = _conv(self.planes, name="conv2")(h)
         h = _bn("bn2")(h)
-        if self.downsample or x.shape[-1] != self.planes:
-            identity = _conv(self.planes, k=1, p=0, name="down_conv")(x)
+        if self.downsample or x.shape[-1] != self.planes or self.stride != 1:
+            # the identity conv must stride with conv1 or the residual add
+            # shape-mismatches for stride>1 blocks
+            identity = _conv(self.planes, k=1, p=0, s=self.stride, name="down_conv")(x)
             identity = _bn("down_bn")(identity)
         return nn.relu(h + identity)
 
