@@ -89,8 +89,9 @@ def run_cli(cfgs):
     mask = np.asarray(Image.open(args.mask).convert("L"))
     batch = build_batch(image, mask, args.text, cfgs.get("H", 512), cfgs.get("W", 512),
                         cfgs.get("seq_len", 12))
-    steps = args.steps or sampler.num_steps
-    scale = args.scale or sampler.cfg_scale
+    # `or` would silently ignore explicit zeros (--scale 0 disables CFG)
+    steps = args.steps if args.steps is not None else sampler.num_steps
+    scale = args.scale if args.scale is not None else sampler.cfg_scale
     out, aux = demo_predict(cfgs, bundle, params, batch, steps, scale, args.seed,
                             args.aae, args.detailed)
     Image.fromarray(out).save(args.out)
@@ -117,10 +118,16 @@ def run_gradio(cfgs):
     def fn(editor, text, steps, scale, seed, detailed):
         image = np.asarray(editor["background"].convert("RGB"))
         layers = editor.get("layers") or []
-        mask = (
-            np.asarray(layers[0].convert("L")) if layers else np.zeros(image.shape[:2])
-        )
-        batch = build_batch(image, mask, text, cfgs.get("H", 512), cfgs.get("W", 512))
+        if layers:
+            # paint COVERAGE, not luminance: a dark brush paints (0,0,0,255)
+            # and RGBA→L would read it as 0 (= unpainted); the sketch mask is
+            # wherever alpha is set
+            layer = np.asarray(layers[0].convert("RGBA"))
+            mask = layer[..., 3]
+        else:
+            mask = np.zeros(image.shape[:2])
+        batch = build_batch(image, mask, text, cfgs.get("H", 512), cfgs.get("W", 512),
+                            cfgs.get("seq_len", 12))
         out, _ = demo_predict(cfgs, bundle, params, batch, int(steps), float(scale),
                               int(seed), detailed=detailed)
         return Image.fromarray(out)

@@ -71,10 +71,16 @@ def predict(cfgs, predictor, params, batch, rng):
 
 
 def test(bundle, params, sampler, dataloader, cfgs):
+    import shutil
+
+    # the reference wipes both dirs first (test.py:45-57) — stale PNGs from a
+    # previous eval would otherwise contaminate FID/LPIPS over the union
     output_dir = str(cfgs.get("output_dir", "./outputs"))
+    shutil.rmtree(output_dir, ignore_errors=True)
     os.makedirs(ospj(output_dir, "real"), exist_ok=True)
     os.makedirs(ospj(output_dir, "fake"), exist_ok=True)
     temp_dir = str(cfgs.get("temp_dir", "./temp"))
+    shutil.rmtree(temp_dir, ignore_errors=True)
     for sub in ("attn_map", "seg_map", "inters"):
         os.makedirs(ospj(temp_dir, sub), exist_ok=True)
 

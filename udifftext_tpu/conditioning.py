@@ -173,11 +173,15 @@ class GeneralConditioner:
             emb_out = e.apply_fn(params, batch, rng_apply)
             if not isinstance(emb_out, (tuple, list)):
                 emb_out = (emb_out,)
-            for emb in emb_out:
+            for j, emb in enumerate(emb_out):
                 out_key = e.emb_key or OUTPUT_DIM2KEYS[emb.ndim]
                 if train and e.ucg_rate > 0.0 and rng_ucg is not None:
+                    # independent Bernoulli per OUTPUT of a multi-output
+                    # embedder (the reference draws a fresh mask per output,
+                    # modules.py:176-190)
                     keep = jax.random.bernoulli(
-                        rng_ucg, 1.0 - e.ucg_rate, (emb.shape[0],)
+                        jax.random.fold_in(rng_ucg, j), 1.0 - e.ucg_rate,
+                        (emb.shape[0],),
                     ).astype(emb.dtype)
                     emb = emb * keep.reshape((-1,) + (1,) * (emb.ndim - 1))
                 if e.input_key in force_zero_keys:

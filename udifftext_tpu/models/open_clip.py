@@ -266,6 +266,9 @@ class FrozenOpenCLIPTextEmbedder:
 
     def __call__(self, text_or_ids):
         assert self.params is not None, "load convert_open_clip weights or init() first"
+        if isinstance(text_or_ids, str):
+            # open_clip.tokenize accepts Union[str, List[str]]
+            text_or_ids = [text_or_ids]
         if isinstance(text_or_ids, (list, tuple)) and (
             not text_or_ids or isinstance(text_or_ids[0], str)
         ):

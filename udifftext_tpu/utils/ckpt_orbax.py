@@ -8,10 +8,20 @@ atomic directory swaps and keeps the latest N checkpoints.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+import re
+from typing import Any, List, Optional
 
 import jax
 import orbax.checkpoint as ocp
+
+# finalized checkpoints ONLY — Orbax's atomic-save leftovers look like
+# `step_XXXXXXXX.orbax-checkpoint-tmp-<ts>`; matching them would resume from
+# a partial tree after a mid-save crash and mis-count the keep quota
+_STEP_RE = re.compile(r"^step_\d+$")
+
+
+def _finalized(ckpt_dir: str) -> List[str]:
+    return sorted(e for e in os.listdir(ckpt_dir) if _STEP_RE.match(e))
 
 
 def save_checkpoint(ckpt_dir: str, state: Any, step: int, keep: int = 3) -> str:
@@ -26,9 +36,7 @@ def save_checkpoint(ckpt_dir: str, state: Any, step: int, keep: int = 3) -> str:
 
 
 def _prune(ckpt_dir: str, keep: int):
-    entries = sorted(
-        e for e in os.listdir(ckpt_dir) if e.startswith("step_")
-    )
+    entries = _finalized(ckpt_dir)
     for e in entries[:-keep]:
         full = os.path.join(ckpt_dir, e)
         import shutil
@@ -39,7 +47,7 @@ def _prune(ckpt_dir: str, keep: int):
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     if not os.path.isdir(ckpt_dir):
         return None
-    entries = sorted(e for e in os.listdir(ckpt_dir) if e.startswith("step_"))
+    entries = _finalized(ckpt_dir)
     return os.path.join(ckpt_dir, entries[-1]) if entries else None
 
 
