@@ -64,6 +64,11 @@ def build_torch_side(model_cfg, sd):
         if "LabelEncoder" in emb["target"]:
             le_params = dict(emb.get("params", {}) or {})
 
+    if le_params is None:
+        raise SystemExit(
+            "golden_parity: the model config's conditioner has no LabelEncoder "
+            "embedder — this harness compares the shipped text-inpainting graph"
+        )
     net.setdefault("ctrl_channels", 0)
     net.setdefault("save_attn_type", ["t_attn"])
     net.setdefault("save_attn_layers", [])

@@ -13,6 +13,7 @@ maps); the denoiser is agnostic to ``aux`` and passes it through.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Dict, Tuple
 
 import jax
@@ -73,8 +74,12 @@ class DiscreteDenoiser(Denoiser):
     quantize_c_noise_flag: bool = True
     discretization: LegacyDDPMDiscretization = LegacyDDPMDiscretization()
 
-    @property
+    @functools.cached_property
     def sigmas(self) -> np.ndarray:
+        # built once per denoiser (cached_property writes the instance
+        # __dict__ directly, bypassing the frozen-dataclass setattr) — the
+        # property form rebuilt the 1000-entry float64 table on every
+        # quantize call
         return self.discretization(self.num_idx, do_append_zero=False, flip=True)
 
     def quantize_sigma(self, sigma: Array) -> Array:

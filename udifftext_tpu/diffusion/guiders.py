@@ -30,6 +30,17 @@ class VanillaCFG:
             if k in _CFG_KEYS:
                 c_out[k] = jnp.concatenate([uc[k], c[k]], axis=0)
             else:
+                # the reference asserts c[k] == uc[k] for every other key
+                # (guiders.py:37-39) — silently reusing c[k] would run the
+                # unconditional half WITH conditioning and degrade CFG to
+                # near-identity with no error
+                if k in uc and uc[k] is not c[k] and isinstance(c[k], jnp.ndarray):
+                    raise ValueError(
+                        f"CFG key {k!r} is outside {_CFG_KEYS} but holds a "
+                        "distinct array for cond vs uncond — route it via "
+                        "emb_key or extend the guider (the torch reference "
+                        "asserts equality here rather than guiding silently)"
+                    )
                 c_out[k] = c[k]
         return jnp.concatenate([x, x], axis=0), jnp.concatenate([s, s], axis=0), c_out
 

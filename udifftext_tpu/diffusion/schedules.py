@@ -60,8 +60,19 @@ def _roughly_equally_spaced_steps(num_substeps: int, max_step: int) -> np.ndarra
     return np.linspace(max_step - 1, 0, num_substeps, endpoint=False).astype(int)[::-1]
 
 
+class _Discretization:
+    """Shared __call__ convention (reference Discretization base,
+    discretizer.py:16-20): append-zero + optional flip over get_sigmas."""
+
+    def __call__(self, n: int, do_append_zero: bool = True, flip: bool = False) -> np.ndarray:
+        sigmas = self.get_sigmas(n)
+        if do_append_zero:
+            sigmas = np.concatenate([sigmas, np.zeros((1,), dtype=sigmas.dtype)])
+        return sigmas[::-1].copy() if flip else sigmas
+
+
 @dataclasses.dataclass(frozen=True)
-class LegacyDDPMDiscretization:
+class LegacyDDPMDiscretization(_Discretization):
     """sigma(i) = sqrt((1-abar_i)/abar_i) over the 1000-step DDPM table.
 
     Reference discretizer.py:41-68. ``__call__(n, do_append_zero, flip)``
@@ -86,15 +97,9 @@ class LegacyDDPMDiscretization:
         sigmas = np.sqrt((1 - acp) / acp).astype(np.float32)
         return sigmas[::-1].copy()  # descending (torch.flip in get_sigmas)
 
-    def __call__(self, n: int, do_append_zero: bool = True, flip: bool = False) -> np.ndarray:
-        sigmas = self.get_sigmas(n)
-        if do_append_zero:
-            sigmas = np.concatenate([sigmas, np.zeros((1,), dtype=sigmas.dtype)])
-        return sigmas[::-1].copy() if flip else sigmas
-
 
 @dataclasses.dataclass(frozen=True)
-class EDMDiscretization:
+class EDMDiscretization(_Discretization):
     """Karras rho-schedule (reference discretizer.py:27-38)."""
 
     sigma_min: float = 0.02
@@ -108,12 +113,6 @@ class EDMDiscretization:
         return ((max_inv_rho + ramp * (min_inv_rho - max_inv_rho)) ** self.rho).astype(
             np.float32
         )
-
-    def __call__(self, n: int, do_append_zero: bool = True, flip: bool = False) -> np.ndarray:
-        sigmas = self.get_sigmas(n)
-        if do_append_zero:
-            sigmas = np.concatenate([sigmas, np.zeros((1,), dtype=sigmas.dtype)])
-        return sigmas[::-1].copy() if flip else sigmas
 
 
 # ---------------------------------------------------------------------------

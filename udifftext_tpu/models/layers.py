@@ -85,7 +85,10 @@ class GroupNorm32(nn.Module):
         xg = x.reshape(*x.shape[:1], -1, g, c // g)  # (B, N, G, C/G)
         xf = xg.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-        var = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True) - jnp.square(mean)
+        # centered (two-pass) variance: E[(x-mean)^2], not E[x^2]-mean^2 —
+        # the one-pass form catastrophically cancels in fp32 when a group's
+        # mean magnitude dwarfs its spread (torch computes centered stats)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
         inv = jax.lax.rsqrt(var + self.eps)
 
         y = (xf - mean) * inv

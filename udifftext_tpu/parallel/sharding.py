@@ -23,7 +23,11 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # (path-substring, which feature axis of the 2-D kernel is sharded)
-_COL_PARALLEL = ("to_q", "to_k", "to_v", "proj_in")
+# proj_in is deliberately NOT column-parallel: its output feeds the block's
+# pre-attention LayerNorm, which needs the full feature axis — sharding it
+# would force an extra all-gather per transformer block, violating the
+# one-collective-per-row-parallel-matmul design above.
+_COL_PARALLEL = ("to_q", "to_k", "to_v")
 _ROW_PARALLEL = ("to_out",)
 # GEGLU: ff/proj column-parallel, ff/out row-parallel (attention.py:97-110)
 _FF_COL = ("ff", "proj")

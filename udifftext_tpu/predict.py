@@ -69,10 +69,10 @@ class JittedPredictor:
             # multi-chip eval (reference scope is single-GPU test.py): batch
             # sharded over the `data` mesh axis, params replicated; GSPMD
             # inserts the collectives exactly as in the train step
-            from jax.sharding import NamedSharding, PartitionSpec
+            from .parallel.mesh import replicated_sharding, shard_batch_sharding
 
-            rep = NamedSharding(mesh, PartitionSpec())
-            dat = NamedSharding(mesh, PartitionSpec("data"))
+            rep = replicated_sharding(mesh)
+            dat = shard_batch_sharding(mesh)
             self._jitted = jax.jit(raw, in_shardings=(rep, dat, rep))
         else:
             self._jitted = jax.jit(raw)
@@ -91,6 +91,11 @@ class JittedPredictor:
         self, params, batch: Dict[str, Any], rng: jax.Array
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         arr_batch = self.array_batch(batch)
+        if not arr_batch:
+            raise ValueError(
+                f"batch carries none of the predictor's array keys "
+                f"{self.array_keys} — got {sorted(batch)}"
+            )
         if self.mesh is not None:
             n_data = self.mesh.shape.get("data", 1)
             b = next(iter(arr_batch.values())).shape[0]
