@@ -19,6 +19,7 @@ Each timed as a lax.scan of K reps in one jit ending in float(sum)
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
 
@@ -28,7 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _NEG_INF = -1e30
 

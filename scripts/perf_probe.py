@@ -9,6 +9,7 @@ Usage: python scripts/perf_probe.py [batch]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -16,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import _zeros_params, cast_params_bf16  # noqa: E402
 
 

@@ -12,13 +12,14 @@ Usage: python scripts/pipeline_probe.py [batch]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import _zeros_params, cast_params_bf16  # noqa: E402
 
 

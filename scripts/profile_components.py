@@ -1,13 +1,14 @@
 """Component-level timing on the real chip: UNet eval, VAE decode, attention
 sizes, GroupNorm. Informs kernel priorities (run manually)."""
 
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(fn, *args, n=10, warmup=2):

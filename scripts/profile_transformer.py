@@ -11,13 +11,14 @@ Usage: python scripts/profile_transformer.py [batch=16] [K=20]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import _zeros_params, cast_params_bf16  # noqa: E402
 
 C = 320          # ds1 channels

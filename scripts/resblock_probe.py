@@ -9,6 +9,7 @@ Usage: python scripts/resblock_probe.py [batch=32] [channels=320]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -16,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed_scan(body, init_carry, label, K=20):

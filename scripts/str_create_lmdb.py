@@ -23,7 +23,7 @@ import os
 import sys
 from os.path import join as ospj
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def valid_image(data: bytes) -> bool:

@@ -6,13 +6,14 @@ Usage: python scripts/str_read.py <image.png> [--model parseq] [--ckpt path]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import jax
 import numpy as np
 from PIL import Image
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

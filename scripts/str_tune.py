@@ -9,11 +9,12 @@ Usage: python scripts/str_tune.py --data_root <root> [--trials 6 --steps 60]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -217,3 +217,41 @@ def test_str_create_lmdb_script(tmp_path):
     assert ds.labels == ["hello", "world"]
     img, label = ds[0]
     assert img.size == (60, 20) and label == "hello"
+
+
+def test_str_filter_lmdb_script(tmp_path):
+    """scripts/str_filter_lmdb.py (tools/filter_lmdb.py parity): merge two
+    LMDBs, drop under-sized images, renumber 1-based."""
+    import subprocess
+    import sys
+
+    def make_db(name, samples):
+        items = {}
+        for i, (label, hw) in enumerate(samples, start=1):
+            arr = (np.random.RandomState(i).rand(*hw, 3) * 255).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="PNG")
+            items[b"image-%09d" % i] = buf.getvalue()
+            items[b"label-%09d" % i] = label.encode()
+        items[b"num-samples"] = str(len(samples)).encode()
+        d = str(tmp_path / name)
+        write_lmdb(d, items)
+        return d
+
+    db_a = make_db("a", [("keep1", (20, 60)), ("tiny", (4, 60)), ("keep2", (16, 16))])
+    db_b = make_db("b", [("keep3", (32, 32))])
+
+    out_dir = str(tmp_path / "merged")
+    proc = subprocess.run(
+        [sys.executable, "scripts/str_filter_lmdb.py", db_a, db_b,
+         "--output", out_dir, "--min_image_dim", "8"],
+        capture_output=True, text=True, env=_cpu_subprocess_env(),
+        cwd="/root/repo", timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Written 3 samples" in proc.stdout and "out of 4" in proc.stdout
+
+    ds = LmdbStrDataset(out_dir)
+    assert ds.labels == ["keep1", "keep2", "keep3"]
+    img, label = ds[2]
+    assert img.size == (32, 32) and label == "keep3"
