@@ -108,7 +108,8 @@ def test_str_test_cli_consumes_lmdb(tmp_path):
         capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    assert "| IIIT5k | 2 |" in out.stdout, out.stdout
+    assert "Benchmark set:" in out.stdout, out.stdout
+    assert "| IIIT5k" in out.stdout and "| Combined" in out.stdout, out.stdout
 
 
 def _cpu_subprocess_env():
