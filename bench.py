@@ -202,10 +202,41 @@ def build_train(batch_size: int, first_stage_bf16: bool = True):
     return step
 
 
+def _wait_for_backend(max_wait_s: float = 900.0) -> None:
+    """The tunneled TPU backend is occasionally unavailable for minutes at a
+    time (init either raises UNAVAILABLE or hangs). A failed init is cached
+    process-wide by JAX, so probe in a SUBPROCESS with a per-attempt timeout
+    and only let this process touch the backend once a probe has succeeded.
+    After the deadline, proceed anyway and let the real failure surface."""
+    import os
+    import subprocess
+    import time as _time
+
+    deadline = _time.monotonic() + max_wait_s
+    code = "import jax; jax.devices()"
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=150,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                env=dict(os.environ),
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if _time.monotonic() > deadline:
+            print("backend probe never succeeded; proceeding", file=sys.stderr)
+            return
+        print("backend unavailable; retrying in 30s", file=sys.stderr)
+        _time.sleep(30)
+
+
 def main():
     from udifftext_tpu.utils.profiling import enable_persistent_cache
 
     enable_persistent_cache()
+    _wait_for_backend()
     # default = the best-known honest config on this chip: B=16 — the flash
     # kernel's 1024-wide q blocks already saturate at the CFG-doubled batch
     # of 32, and B=64's chunked VAE decode pays lax.map sequencing overhead
