@@ -74,12 +74,14 @@ def main(argv=None):
     ap.add_argument("--data_root", required=True)
     ap.add_argument("--ckpt", default=None, help="abinet checkpoint (.pt)")
     ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--new", action="store_true",
+                    help="Evaluate on new benchmark datasets")
     args = ap.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
-    from str_test import BENCHMARKS, load_folder, print_results_table
+    from str_test import TEST_BENCHMARK, TEST_NEW, load_folder, print_results_table
     from udifftext_tpu.models.parseq import ParseqTokenizer
     from udifftext_tpu.str_eval import evaluate_predictions, sequence_confidence
 
@@ -87,19 +89,20 @@ def main(argv=None):
     fwd = jax.jit(lambda t, l: lm.apply(lm_params, t, l)["logits"])
     tokenizer = ParseqTokenizer(charset=LM_CHARSET)
 
-    rows = []
-    for name in BENCHMARKS:
-        items = load_folder(os.path.join(args.data_root, name))
+    test_set = TEST_BENCHMARK + (TEST_NEW if args.new else ())
+    results = {}
+    for name in sorted(set(test_set)):
+        # charset filter here mirrors the upstream datamodule: labels adapt
+        # to the LM charset at load, over-length/empty samples are excluded
+        items = load_folder(os.path.join(args.data_root, name), charset=LM_CHARSET)
         if not items:
             print(f"skipping {name} (no data)")
             continue
-        # LM-only eval never opens the images; adapt labels to the charset
-        # the way the datamodule's charset_test would
+        # LM-only eval never opens the images
         gts = [g for _, g in items]
         preds, confs = [], []
         for i in range(0, len(gts), args.batch):
-            chunk = [g.lower() for g in gts[i : i + args.batch]]
-            chunk = ["".join(c for c in g if c in LM_CHARSET)[: MAX_LEN - 1] for g in chunk]
+            chunk = gts[i : i + args.batch]
             tokens, lengths = encode_labels(chunk)
             # pad to full batch width so every step reuses one compilation
             pad = args.batch - len(chunk)
@@ -110,12 +113,16 @@ def main(argv=None):
             logits = logits[: len(chunk)]
             preds += tokenizer.decode_ids(logits.argmax(-1))
             confs += sequence_confidence(logits)
-        res = evaluate_predictions(preds, gts, confs, charset_test=LM_CHARSET)
-        rows.append((name, res))
+        results[name] = evaluate_predictions(preds, gts, confs, charset_test=LM_CHARSET)
 
-    if rows:
-        print("Benchmark set:")
-        print_results_table(rows)
+    groups = {"Benchmark": TEST_BENCHMARK}
+    if args.new:
+        groups["New"] = TEST_NEW
+    for group, subset in groups.items():
+        rows = [(s, results[s]) for s in subset if s in results]
+        if rows:
+            print(f"{group} set:")
+            print_results_table(rows)
 
 
 if __name__ == "__main__":

@@ -37,24 +37,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _CJK = re.compile(r"[一-鿿]+")
 
 
-def _write_gt(path: str, rows, sep: str = "\t") -> int:
+def _write_gt(path: str, rows, sep: str = "\t", strip_label: bool = True) -> int:
+    """strip_label=False for the crop-based converters: upstream writes their
+    transcriptions raw through mmocr's list_to_file (label-file-only
+    converters strip explicitly)."""
     with open(path, "w", encoding="utf-8") as f:
         for fname, label in rows:
-            f.write(sep.join([fname.strip(), label.strip()]) + "\n")
+            f.write(sep.join([fname.strip(), label.strip() if strip_label else label]) + "\n")
     print(f"{path}: {len(rows)} samples")
     return len(rows)
 
 
-def _save_crop(src_img, box, dst_path: str) -> None:
-    """Crop + save preserving JPEG quantization tables when the source has
-    them (tools/*_converter.py pass qtables=src.quantization unconditionally;
+def _save_jpeg(img, src_img, dst_path: str) -> None:
+    """Save preserving the source's JPEG quantization tables when it has them
+    (tools/*_converter.py pass qtables=src.quantization unconditionally;
     non-JPEG sources need the fallback)."""
-    dst = src_img.crop(box)
     qt = getattr(src_img, "quantization", None)
     if qt:
-        dst.save(dst_path, qtables=qt)
+        img.save(dst_path, qtables=qt)
     else:
-        dst.save(dst_path, quality=95)
+        img.save(dst_path, quality=95)
+
+
+def _save_crop(src_img, box, dst_path: str) -> None:
+    _save_jpeg(src_img.crop(box), src_img, dst_path)
 
 
 # --------------------------------------------------------------------------
@@ -161,7 +167,7 @@ def convert_lsvt(root: str) -> int:
             _save_crop(src, (x1, y1, x2, y2), ospj(dst_root, name))
             rows.append((f"image_train/{name}", label))
         src.close()
-    _write_gt(ospj(root, "train_label.txt"), rows, sep=" ")
+    _write_gt(ospj(root, "train_label.txt"), rows, sep=" ", strip_label=False)
     return len(annotation)
 
 
@@ -209,14 +215,10 @@ def convert_textocr(root: str, rectify_pose: bool = False) -> int:
                 if rectify_pose:
                     dst = _rectify_pose(dst, (x, y), ann["points"])
                 name = f"img_{img_idx + start}_{ann_idx}.jpg"
-                qt = getattr(src, "quantization", None)
-                if qt:
-                    dst.save(ospj(dst_root, name), qtables=qt)
-                else:
-                    dst.save(ospj(dst_root, name), quality=95)
+                _save_jpeg(dst, src, ospj(dst_root, name))
                 rows.append((f"image/{name}", label))
             src.close()
-        _write_gt(ospj(root, f"{split}_label.txt"), rows, sep=" ")
+        _write_gt(ospj(root, f"{split}_label.txt"), rows, sep=" ", strip_label=False)
         start += len(annotation["imgs"])
     return start
 
@@ -262,7 +264,7 @@ def convert_coco2(root: str) -> int:
                 _save_crop(src, (x, y, x2, y2), ospj(dst_root, name))
                 rows.append((f"{dst_name}/{name}", label))
             src.close()
-        _write_gt(ospj(root, label_file), rows, sep=" ")
+        _write_gt(ospj(root, label_file), rows, sep=" ", strip_label=False)
         start += len(annotation["imgs"])
     return start
 
@@ -303,8 +305,11 @@ def convert_openvino(root: str) -> int:
                 _save_crop(src, (x, y, x + w, y + h), ospj(dst_root, name))
                 rows.append((f"{dst_name}/{name}", attrs["transcription"]))
             src.close()
-        _write_gt(ospj(root, label_file), rows, sep=" ")
-        start += len(annotation["images"])
+        _write_gt(ospj(root, label_file), rows, sep=" ", strip_label=False)
+        # upstream main() REASSIGNS num_train_imgs to each shard's own image
+        # count (not cumulative), so shard N+1 starts at len(shard N) —
+        # mirror that for filename-identical output
+        start = len(annotation["images"])
     return start
 
 

@@ -36,13 +36,30 @@ TEST_NEW = ("ArT", "COCOv1.4", "Uber")
 BENCHMARKS = TEST_BENCHMARK  # back-compat alias (str_abinet_lm_acc.py)
 
 
-def load_folder(d):
+def _prep_label(label, adapter, max_label_len=25):
+    """strhub/data/dataset.py:84-106 label preprocessing: whitespace removal,
+    NFKD→ascii, length filter BEFORE charset adaptation, drop-if-empty.
+    Returns None for samples the reference datamodule would exclude."""
+    import unicodedata
+
+    label = "".join(label.split())
+    label = unicodedata.normalize("NFKD", label).encode("ascii", "ignore").decode()
+    if len(label) > max_label_len:
+        return None
+    if adapter is not None:
+        label = adapter(label)
+    return label or None
+
+
+def load_folder(d, charset=None, max_label_len=25):
     """Items as (open_image_fn, label) pairs from an LMDB database dir (the
-    parseq distribution format) or a labels.txt image folder."""
+    parseq distribution format) or a labels.txt image folder, with the
+    reference datamodule's label filtering so evaluated populations (and the
+    tables' #samples) match parseq's."""
     if os.path.exists(ospj(d, "data.mdb")):
         from udifftext_tpu.data.lmdb import LmdbStrDataset
 
-        ds = LmdbStrDataset(d)
+        ds = LmdbStrDataset(d, max_label_len=max_label_len, charset=charset)
         return [
             (lambda i=i: ds[i][0], ds.labels[i]) for i in range(len(ds))
         ]
@@ -50,12 +67,18 @@ def load_folder(d):
     items = []
     if not os.path.exists(labels_path):
         return items
+    from udifftext_tpu.str_eval import CharsetAdapter
+
+    adapter = CharsetAdapter(charset) if charset is not None else None
     with open(labels_path) as f:
         for line in f:
             parts = line.rstrip("\n").split(" ", 1)
             if len(parts) == 2:
+                label = _prep_label(parts[1], adapter, max_label_len)
+                if label is None:
+                    continue
                 p = ospj(d, parts[0])
-                items.append((lambda p=p: Image.open(p), parts[1]))
+                items.append((lambda p=p: Image.open(p), label))
     return items
 
 
@@ -149,7 +172,7 @@ def main(argv=None):
 
     results = {}
     for name in test_set:
-        items = load_folder(ospj(args.data_root, name))
+        items = load_folder(ospj(args.data_root, name), charset=charset_test)
         if not items:
             print(f"skipping {name} (no data)")
             continue

@@ -63,7 +63,6 @@ def test_convert_case_sensitive(conv, tmp_path):
     os.makedirs(ospj(root, "label"))
     for i, label in enumerate(["Cat", "DoG"], start=1):
         save_jpeg(ospj(root, "IMG", f"{i}.png"), seed=i)  # png layout branch
-        os.rename(ospj(root, "IMG", f"{i}.png"), ospj(root, "IMG", f"{i}.png"))
         with open(ospj(root, "label", f"{i}.txt"), "w") as f:
             f.write(label + "\n")
     conv.convert_case_sensitive(root)
@@ -297,19 +296,45 @@ def test_str_test_groups_and_flags(tmp_path, capsys):
     assert "skipping SVT (no data)" in out
 
 
+def test_load_folder_filters_like_datamodule(tmp_path):
+    """str_test.load_folder applies the reference datamodule's label
+    filtering to labels.txt folders when a charset is given: whitespace
+    removal, NFKD→ascii, length≤25 BEFORE adaptation, drop-if-empty
+    (strhub/data/dataset.py:84-106)."""
+    str_test = load_script("str_test")
+    d = tmp_path / "set"
+    d.mkdir()
+    lines = [
+        "a.jpg CaT",               # folds to 'cat' under lowercase charset
+        "b.jpg " + "x" * 30,       # over-length → dropped
+        "c.jpg !!!",               # adapts to '' → dropped
+        "d.jpg ca fé",             # whitespace removed, é → e
+    ]
+    for fname in ("a.jpg", "b.jpg", "c.jpg", "d.jpg"):
+        save_jpeg(str(d / fname), seed=3)
+    (d / "labels.txt").write_text("\n".join(lines) + "\n")
+    charset = "0123456789abcdefghijklmnopqrstuvwxyz"
+    items = str_test.load_folder(str(d), charset=charset)
+    assert [g for _, g in items] == ["cat", "cafe"]
+    # no charset → no adaptation/empty-drop, but the datamodule's
+    # unconditional normalization (whitespace/NFKD/length) still applies
+    assert [g for _, g in str_test.load_folder(str(d))] == ["CaT", "!!!", "cafe"]
+
+
 def test_abinet_lm_acc_main(tmp_path, capsys):
     """scripts/str_abinet_lm_acc.py runs end-to-end on a labels.txt benchmark
     folder with random LM weights and prints the results table."""
     lm_acc = load_script("str_abinet_lm_acc")
-    bench = tmp_path / "IIIT5k"
-    bench.mkdir()
-    lines = []
-    for i, label in enumerate(["cat", "dog42"]):
-        save_jpeg(str(bench / f"w{i}.jpg"), seed=10 + i)
-        lines.append(f"w{i}.jpg {label}")
-    (bench / "labels.txt").write_text("\n".join(lines) + "\n")
-    lm_acc.main(["--data_root", str(tmp_path), "--batch", "4"])
+    for name, labels in (("IIIT5k", ["cat", "dog42"]), ("ArT", ["sign"])):
+        bench = tmp_path / name
+        bench.mkdir()
+        lines = []
+        for i, label in enumerate(labels):
+            save_jpeg(str(bench / f"w{i}.jpg"), seed=10 + i)
+            lines.append(f"w{i}.jpg {label}")
+        (bench / "labels.txt").write_text("\n".join(lines) + "\n")
+    lm_acc.main(["--data_root", str(tmp_path), "--batch", "4", "--new"])
     out = capsys.readouterr().out
-    assert "Benchmark set:" in out
+    assert "Benchmark set:" in out and "New set:" in out
     assert "| IIIT5k" in out and "         2 |" in out
-    assert "| Combined" in out
+    assert "| ArT" in out and "| Combined" in out
