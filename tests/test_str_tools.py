@@ -296,6 +296,75 @@ def test_str_test_groups_and_flags(tmp_path, capsys):
     assert "skipping SVT (no data)" in out
 
 
+REF_TOOLS = "/root/reference/src/parseq/tools"
+
+
+def run_ref_tool(name, cwd, argv=()):
+    import subprocess
+    import sys
+
+    r = subprocess.run([sys.executable, ospj(REF_TOOLS, f"{name}.py"), *argv],
+                       cwd=cwd, capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TOOLS), reason="reference tree unavailable")
+def test_differential_vs_reference_tools(conv, tmp_path):
+    """Byte-for-byte differential: run the reference's own stdlib-only
+    converter scripts (art/case-sensitive/coco-text/mlt19) on a copy of each
+    fixture and require identical output files from ours."""
+    import shutil
+
+    # --- fixtures (exercising every filter branch) ---
+    art = tmp_path / "art"
+    art.mkdir()
+    with open(art / "train_task2_labels.json", "w") as f:
+        json.dump({
+            "gt_1": [{"language": "Latin", "illegibility": False, "transcription": " shop "}],
+            "gt_2": [{"language": "Chinese", "illegibility": False, "transcription": "x"}],
+            "gt_3": [{"language": "Latin", "illegibility": True, "transcription": "x"}],
+            "gt_4": [{"language": "latin", "illegibility": False, "transcription": "LocaL#3"}],
+            "gt_5": [{"language": "Latin", "illegibility": False, "transcription": "no#pe"}],
+        }, f)
+
+    cs = tmp_path / "cs"
+    (cs / "label").mkdir(parents=True)
+    (cs / "IMG").mkdir()
+    for i, label in enumerate(["Cat ", "DoG"], start=1):
+        save_jpeg(str(cs / "IMG" / f"{i}.png"), seed=i)
+        (cs / "label" / f"{i}.txt").write_text(label + "\n")
+
+    coco = tmp_path / "coco"
+    coco.mkdir()
+    (coco / "train_words_gt.txt").write_text("1001,hello\nbad-line\n1002,|pipe|\n")
+    (coco / "val_words_gt.txt").write_text("2001,with,comma\n")
+
+    mlt = tmp_path / "mlt"
+    mlt.mkdir()
+    (mlt / "gt.txt").write_text(
+        "a.jpg,Latin,word\nb.jpg,Arabic,word\nc.jpg,Symbols,x,y\nd.jpg,Latin,\n")
+
+    cases = [
+        # (fixture dir, ours fn, ref tool, ref argv-or-cwd mode, output files)
+        (art, conv.convert_art, "art_converter", "cwd", ["gt.txt"]),
+        (cs, conv.convert_case_sensitive, "case_sensitive_str_datasets_converter",
+         "argv", ["lmdb.txt"]),
+        (coco, conv.convert_coco_text, "coco_text_converter", "cwd",
+         ["train_lmdb.txt", "val_lmdb.txt"]),
+        (mlt, conv.convert_mlt19, "mlt19_converter", "argv", ["lmdb.txt"]),
+    ]
+    for fixture, ours_fn, tool, mode, outputs in cases:
+        ref_dir = tmp_path / (fixture.name + "_ref")
+        shutil.copytree(fixture, ref_dir)
+        ours_fn(str(fixture))
+        run_ref_tool(tool, cwd=str(ref_dir),
+                     argv=[str(ref_dir)] if mode == "argv" else [])
+        for out in outputs:
+            ours = (fixture / out).read_bytes()
+            theirs = (ref_dir / out).read_bytes()
+            assert ours == theirs, f"{tool}/{out}: ours={ours!r} theirs={theirs!r}"
+
+
 def test_load_folder_filters_like_datamodule(tmp_path):
     """str_test.load_folder applies the reference datamodule's label
     filtering to labels.txt folders when a charset is given: whitespace
