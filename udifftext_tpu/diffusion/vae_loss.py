@@ -36,6 +36,84 @@ def adopt_weight(weight, global_step, threshold: int = 0, value: float = 0.0):
     return jnp.where(global_step < threshold, value, weight)
 
 
+def diagonal_gaussian_regularizer(
+    z: Array, rng: Optional[Array] = None, sample: bool = True
+) -> Tuple[Array, Dict[str, Array]]:
+    """DiagonalGaussianRegularizer (sgm/modules/autoencoding/regularizers/
+    __init__.py:23-42): moments → posterior sample (or mode) + per-batch-mean
+    summed KL in the log dict."""
+    from ..models.vae import DiagonalGaussian
+
+    posterior = DiagonalGaussian(z)
+    out = posterior.sample(rng) if sample else posterior.mode()
+    kl = posterior.kl()
+    return out, {"kl_loss": jnp.sum(kl) / kl.shape[0]}
+
+
+def measure_perplexity(predicted_indices: Array, num_centroids: int) -> Tuple[Array, Array]:
+    """Cluster-usage perplexity for VQ codes (regularizers/__init__.py:44-53):
+    perplexity == num_centroids when all clusters are used equally."""
+    encodings = jax.nn.one_hot(
+        predicted_indices.reshape(-1), num_centroids, dtype=jnp.float32
+    )
+    avg_probs = encodings.mean(axis=0)
+    perplexity = jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + 1e-10)))
+    cluster_use = jnp.sum(avg_probs > 0)
+    return perplexity, cluster_use
+
+
+def latent_lpips_loss(
+    decode_fn: Callable[[Array], Array],
+    perceptual_fn: Callable[[Array, Array], Array],
+    latent_inputs: Array,
+    latent_predictions: Array,
+    image_inputs: Optional[Array] = None,
+    split: str = "train",
+    perceptual_weight: float = 1.0,
+    latent_weight: float = 1.0,
+    perceptual_weight_on_inputs: float = 0.0,
+    scale_input_to_tgt_size: bool = False,
+    scale_tgt_to_input_size: bool = False,
+) -> Tuple[Array, Dict[str, Array]]:
+    """LatentLPIPS (losses/__init__.py:19-84): latent-space L2 + LPIPS between
+    the decodes of predicted and target latents, with an optional perceptual
+    term against the original pixels (bicubic size adaptation). Weight
+    semantics mirror the reference exactly, including the elementwise-L2
+    return when perceptual_weight == 0. NHWC; decode/perceptual nets are
+    passed as callables (flax modules bind their own params)."""
+    log: Dict[str, Array] = {}
+    l2 = (latent_inputs - latent_predictions) ** 2
+    log[f"{split}/latent_l2_loss"] = l2.mean()
+    loss: Array = l2
+    recons = None
+    if perceptual_weight > 0.0:
+        recons = decode_fn(latent_predictions)
+        targets = decode_fn(latent_inputs)
+        p = perceptual_fn(targets, recons)
+        loss = latent_weight * l2.mean() + perceptual_weight * p.mean()
+        log[f"{split}/perceptual_loss"] = p.mean()
+    if perceptual_weight_on_inputs > 0.0:
+        if recons is None:
+            recons = decode_fn(latent_predictions)
+        assert image_inputs is not None, "perceptual_weight_on_inputs needs image_inputs"
+        if scale_input_to_tgt_size:
+            image_inputs = jax.image.resize(
+                image_inputs,
+                image_inputs.shape[:1] + recons.shape[1:3] + image_inputs.shape[3:],
+                method="bicubic",
+            )
+        elif scale_tgt_to_input_size:
+            recons = jax.image.resize(
+                recons,
+                recons.shape[:1] + image_inputs.shape[1:3] + recons.shape[3:],
+                method="bicubic",
+            )
+        p2 = perceptual_fn(image_inputs, recons)
+        loss = loss + perceptual_weight_on_inputs * p2.mean()
+        log[f"{split}/perceptual_loss_on_inputs"] = p2.mean()
+    return loss, log
+
+
 def hinge_d_loss(logits_real: Array, logits_fake: Array) -> Array:
     loss_real = jnp.mean(jax.nn.relu(1.0 - logits_real))
     loss_fake = jnp.mean(jax.nn.relu(1.0 + logits_fake))
