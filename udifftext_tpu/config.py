@@ -64,6 +64,8 @@ TARGET_REMAP: Dict[str, str] = {
     "sgm.modules.diffusionmodules.denoiser.DiscreteDenoiser": "udifftext_tpu.builders.build_discrete_denoiser",
     "sgm.modules.diffusionmodules.guiders.VanillaCFG": "udifftext_tpu.diffusion.guiders.VanillaCFG",
     "sgm.modules.diffusionmodules.guiders.IdentityGuider": "udifftext_tpu.diffusion.guiders.IdentityGuider",
+    # autoencoding (generic AutoencodingEngine YAML surface)
+    "sgm.modules.autoencoding.regularizers.DiagonalGaussianRegularizer": "udifftext_tpu.diffusion.vae_loss.DiagonalGaussianRegularizer",
 }
 
 

@@ -50,6 +50,17 @@ def diagonal_gaussian_regularizer(
     return out, {"kl_loss": jnp.sum(kl) / kl.shape[0]}
 
 
+class DiagonalGaussianRegularizer:
+    """Config-instantiable class form (regularizer_config target in generic
+    AutoencodingEngine YAMLs, autoencoder.py:141-146)."""
+
+    def __init__(self, sample: bool = True):
+        self.sample = sample
+
+    def __call__(self, z: Array, rng: Optional[Array] = None):
+        return diagonal_gaussian_regularizer(z, rng=rng, sample=self.sample)
+
+
 def measure_perplexity(predicted_indices: Array, num_centroids: int) -> Tuple[Array, Array]:
     """Cluster-usage perplexity for VQ codes (regularizers/__init__.py:44-53):
     perplexity == num_centroids when all clusters are used equally."""
