@@ -45,7 +45,8 @@ def cast_params_bf16(params):
     return jax.tree.map(cast, params)
 
 
-def build(batch_size: int, bf16_params: bool = True, vae_bf16: bool = True):
+def build(batch_size: int, bf16_params: bool = True, vae_bf16: bool = True,
+          encprop_interval: int = 0):
     from udifftext_tpu.diffusion import sampling as SP
     from udifftext_tpu.diffusion.denoiser import DiscreteDenoiser
     from udifftext_tpu.diffusion.guiders import VanillaCFG
@@ -82,15 +83,45 @@ def build(batch_size: int, bf16_params: bool = True, vae_bf16: bool = True):
         d, _ = denoiser(network, x2, s2, cond)
         return guider(d, sigma)
 
+    # encoder propagation (opt-in approximate mode): the full eval returns
+    # the CFG-doubled encoder skip stack through the denoiser's aux channel;
+    # reuse evals replay it through middle+decoder only
+    def network_full(xin, c_noise, c):
+        x9 = jnp.concatenate([xin.astype(jnp.bfloat16), c["concat"]], axis=-1)
+        return unet.apply(unet_params, x9, c_noise, c["t_crossattn"],
+                          method=UNetModel.forward_cached)
+
+    def denoise_full(x, sigma):
+        x2 = jnp.concatenate([x, x], axis=0)
+        s2 = jnp.concatenate([sigma, sigma], axis=0)
+        d, hs = denoiser(network_full, x2, s2, cond)
+        return guider(d, sigma), hs
+
+    def denoise_reuse(x, sigma, hs):
+        x2 = jnp.concatenate([x, x], axis=0)
+        s2 = jnp.concatenate([sigma, sigma], axis=0)
+
+        def net(_xin, c_noise, c):
+            return unet.apply(unet_params, hs, c_noise, c["t_crossattn"],
+                              method=UNetModel.decode_cached), None
+
+        d, _ = denoiser(net, x2, s2, cond)
+        return guider(d, sigma)
+
     # VAE decode temps are ~256 MB/sample at 512²; chunk large batches so the
     # decode stays inside HBM (B=64 unchunked OOMs at 16 GB). Chunk must
     # divide the batch — pick the largest divisor ≤ 16.
     decode_chunk = max(d for d in range(1, min(b, 16) + 1) if b % d == 0)
 
+    key_mask = jnp.asarray(SP.uniform_key_mask(50, encprop_interval or 1))
+
     @jax.jit
     def sample(rng):
         x = SP.init_latent(jax.random.normal(rng, (b, 64, 64, 4)), sigmas)
-        z = SP.sample_euler_edm(denoise, x, sigmas)
+        if encprop_interval:
+            z = SP.sample_euler_edm_encprop(denoise_full, denoise_reuse, x, sigmas, key_mask)
+        else:
+            z = SP.sample_euler_edm(denoise, x, sigmas)
         zc = z.reshape(b // decode_chunk, decode_chunk, *z.shape[1:])
         img = jax.lax.map(
             lambda zz: vae.apply(vae_params, zz / 0.18215, method=AutoencoderKL.decode),
@@ -283,6 +314,21 @@ def main():
             "search + 50-step CFG Euler-EDM + fp32 VAE decode, one jit"
         )
         metric = "inpaint_512_testflow_samples_per_sec_per_chip"
+    elif mode.startswith("encprop"):
+        # APPROXIMATE opt-in mode: encoder-feature propagation (arXiv
+        # 2312.09608) — full UNet every k-th step, middle+decoder against
+        # the cached skip stack otherwise. Not the faithful pipeline; the
+        # default metric stays the exact sampler.
+        interval = int(mode[len("encprop"):] or 2)
+        sample = build(batch_size, encprop_interval=interval)
+        scope = (
+            "APPROXIMATE encoder-propagation sampling (arXiv 2312.09608): "
+            f"full UNet every {interval}th step, cached-encoder "
+            "middle+decoder otherwise; + bf16 VAE decode. Quality must be "
+            "validated against real checkpoints; the faithful-pipeline "
+            "number is the default mode"
+        )
+        metric = f"inpaint_512_50step_encprop{interval}_samples_per_sec_per_chip"
     else:
         sample = build(batch_size, bf16_params=mode != "fp32", vae_bf16=mode != "fp32vae")
         scope = (

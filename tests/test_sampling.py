@@ -114,3 +114,92 @@ def test_denoiser_quantized_timestep():
     sigma = jnp.array([0.5, 3.0, 10.0, 150.0])
     d(net, x, sigma, {})
     np.testing.assert_array_equal(np.asarray(seen["c_noise"]), [169, 673, 934, 999])
+
+
+# ---------------------------------------------------------------------------
+# Encoder propagation (opt-in approximate sampler, arXiv 2312.09608)
+# ---------------------------------------------------------------------------
+
+
+def test_uniform_key_mask():
+    m = SP.uniform_key_mask(10, 3)
+    assert m.tolist() == [True, False, False, True, False, False, True,
+                          False, False, True]
+    assert SP.uniform_key_mask(4, 1).all()
+
+
+def _tiny_unet_and_params():
+    import jax
+
+    from udifftext_tpu.models.unet import UNetModel
+
+    unet = UNetModel(
+        in_channels=4, out_channels=4, model_channels=32, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2), num_head_channels=8,
+        t_context_dim=8, attn_impl="xla",
+    )
+    x = jnp.zeros((2, 8, 8, 4))
+    ctx = jnp.zeros((2, 3, 8))
+    params = unet.init(jax.random.PRNGKey(0), x, jnp.zeros((2,)), ctx)
+    # the output conv is zero-initialized (SD convention), which would make
+    # the whole network output 0 and any two samplers trivially agree —
+    # perturb it so the model is a real nonlinear function
+    oc = params["params"]["out_conv"]["Conv_0"]
+    oc["kernel"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(3), oc["kernel"].shape, oc["kernel"].dtype
+    )
+    return unet, params, ctx
+
+
+def test_forward_cached_matches_call():
+    """forward_cached returns the exact __call__ output plus the skip stack,
+    and decode_cached on a same-step stack reproduces it exactly."""
+    import jax
+
+    from udifftext_tpu.models.unet import UNetModel
+
+    unet, params, ctx = _tiny_unet_and_params()
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    t = jnp.asarray([3.0, 7.0])
+    ref, _ = unet.apply(params, x, t, ctx)
+    out, hs = unet.apply(params, x, t, ctx, method=UNetModel.forward_cached)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    redec = unet.apply(params, hs, t, ctx, method=UNetModel.decode_cached)
+    np.testing.assert_allclose(np.asarray(redec), np.asarray(ref), atol=1e-6)
+
+
+def test_encprop_all_key_equals_exact_sampler():
+    """With every step a key step the encprop sampler IS the exact Euler-EDM
+    loop; with reuse steps it runs, stays finite, and actually consumes the
+    cache (outputs differ from exact on a nonlinear model)."""
+    import jax
+
+    from udifftext_tpu.models.unet import UNetModel
+
+    unet, params, ctx = _tiny_unet_and_params()
+
+    def denoise(x, s):
+        return unet.apply(params, x, s, ctx)[0]
+
+    def denoise_full(x, s):
+        return unet.apply(params, x, s, ctx, method=UNetModel.forward_cached)
+
+    def denoise_reuse(x, s, hs):
+        return unet.apply(params, hs, s, ctx, method=UNetModel.decode_cached)
+
+    from udifftext_tpu.diffusion.schedules import LegacyDDPMDiscretization
+
+    sig = jnp.asarray(LegacyDDPMDiscretization()(6, do_append_zero=True))
+    x = SP.init_latent(jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 4)), sig)
+
+    exact = SP.sample_euler_edm(denoise, x, sig)
+    allkey = SP.sample_euler_edm_encprop(
+        denoise_full, denoise_reuse, x, sig, SP.uniform_key_mask(6, 1)
+    )
+    np.testing.assert_allclose(np.asarray(allkey), np.asarray(exact), atol=1e-5)
+
+    prop = SP.sample_euler_edm_encprop(
+        denoise_full, denoise_reuse, x, sig, SP.uniform_key_mask(6, 2)
+    )
+    assert np.isfinite(np.asarray(prop)).all()
+    assert not np.allclose(np.asarray(prop), np.asarray(exact))

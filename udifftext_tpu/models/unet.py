@@ -307,6 +307,61 @@ class UNetModel(nn.Module):
                 h = layer(h)
         return h
 
+    def _prepare(self, timesteps, t_context, v_context, y):
+        emb_t = timestep_embedding(timesteps, self.model_channels).astype(self.dtype)
+        emb = self.time_embed_2(silu(self.time_embed_0(emb_t)))
+        if self.use_label is not None:
+            assert y is not None
+            emb = emb + self.label_embed_2(silu(self.label_embed_0(y.astype(self.dtype))))
+        if t_context is not None:
+            t_context = t_context.astype(self.dtype)
+        if v_context is not None:
+            v_context = v_context.astype(self.dtype)
+        return emb, t_context, v_context
+
+    def _run_encoder(self, x, emb, t_context, v_context, capture_attn, attn_maps):
+        """Input blocks → list of skip activations (hs), hs[-1] feeding the
+        middle block."""
+        x = x.astype(self.dtype)
+        hs = []
+        if self.ctrl_channels > 0:
+            h, ctrl_h = (
+                x[..., : self.in_channels],
+                x[..., self.in_channels : self.in_channels + self.ctrl_channels],
+            )
+        else:
+            h = x
+        for i, (layers, specs) in enumerate(zip(self.in_layers, self.plan.input_blocks)):
+            h = self._apply_block(
+                layers, specs, f"input_blocks.{i}", h, emb, t_context, v_context,
+                capture_attn, attn_maps,
+            )
+            if self.ctrl_channels > 0 and i == 0:
+                for conv in self.ctrl_convs[:-1]:
+                    ctrl_h = silu(conv(ctrl_h))
+                h = h + self.ctrl_convs[-1](ctrl_h)
+            hs.append(h)
+        return hs
+
+    def _run_decoder(self, hs, emb, t_context, v_context, capture_attn, attn_maps):
+        """Middle block + output blocks consuming the skip stack."""
+        plan = self.plan
+        hs = list(hs)
+        h = self._apply_block(
+            self.mid_layers, plan.middle_block, "middle_block", hs[-1], emb,
+            t_context, v_context, capture_attn, attn_maps,
+        )
+        for i, (layers, specs) in enumerate(zip(self.out_layers_, plan.output_blocks)):
+            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            h = self._apply_block(
+                layers, specs, f"output_blocks.{i}", h, emb, t_context, v_context,
+                capture_attn, attn_maps,
+            )
+        h = self.out_norm(h)
+        h = silu(h)
+        h = self.out_conv(h)
+        return h.astype(jnp.float32)
+
     def __call__(
         self,
         x: Array,
@@ -317,53 +372,42 @@ class UNetModel(nn.Module):
         capture_attn: bool = False,
     ) -> Tuple[Array, Dict[str, Array]]:
         """x: (B, H, W, in_channels[+ctrl]); timesteps: (B,) → ((B,H,W,out), attn maps)."""
-        plan = self.plan
-        t_emb = timestep_embedding(timesteps, self.model_channels).astype(self.dtype)
-        emb = self.time_embed_2(silu(self.time_embed_0(t_emb)))
-        if self.use_label is not None:
-            assert y is not None
-            emb = emb + self.label_embed_2(silu(self.label_embed_0(y.astype(self.dtype))))
-
-        x = x.astype(self.dtype)
-        if t_context is not None:
-            t_context = t_context.astype(self.dtype)
-        if v_context is not None:
-            v_context = v_context.astype(self.dtype)
-
+        emb, t_context, v_context = self._prepare(timesteps, t_context, v_context, y)
         attn_maps: Dict[str, Array] = {}
-        hs = []
-        if self.ctrl_channels > 0:
-            h, ctrl_h = (
-                x[..., : self.in_channels],
-                x[..., self.in_channels : self.in_channels + self.ctrl_channels],
-            )
-        else:
-            h = x
+        hs = self._run_encoder(x, emb, t_context, v_context, capture_attn, attn_maps)
+        h = self._run_decoder(hs, emb, t_context, v_context, capture_attn, attn_maps)
+        return h, attn_maps
 
-        for i, (layers, specs) in enumerate(zip(self.in_layers, plan.input_blocks)):
-            h = self._apply_block(
-                layers, specs, f"input_blocks.{i}", h, emb, t_context, v_context,
-                capture_attn, attn_maps,
-            )
-            if self.ctrl_channels > 0 and i == 0:
-                for conv in self.ctrl_convs[:-1]:
-                    ctrl_h = silu(conv(ctrl_h))
-                h = h + self.ctrl_convs[-1](ctrl_h)
-            hs.append(h)
+    def forward_cached(
+        self,
+        x: Array,
+        timesteps: Array,
+        t_context: Optional[Array] = None,
+        v_context: Optional[Array] = None,
+        y: Optional[Array] = None,
+    ) -> Tuple[Array, Tuple[Array, ...]]:
+        """Full forward that also returns the encoder skip stack, for
+        encoder-propagation sampling ("Faster Diffusion", arXiv 2312.09608:
+        encoder features vary little across adjacent noise levels). Pair with
+        `decode_cached`, which replays middle+decoder against the cached
+        stack at a later step."""
+        assert self.ctrl_channels == 0, "encoder propagation: ctrl path unsupported"
+        emb, t_context, v_context = self._prepare(timesteps, t_context, v_context, y)
+        attn_maps: Dict[str, Array] = {}
+        hs = self._run_encoder(x, emb, t_context, v_context, False, attn_maps)
+        h = self._run_decoder(hs, emb, t_context, v_context, False, attn_maps)
+        return h, tuple(hs)
 
-        h = self._apply_block(
-            self.mid_layers, plan.middle_block, "middle_block", h, emb,
-            t_context, v_context, capture_attn, attn_maps,
-        )
-
-        for i, (layers, specs) in enumerate(zip(self.out_layers_, plan.output_blocks)):
-            h = jnp.concatenate([h, hs.pop()], axis=-1)
-            h = self._apply_block(
-                layers, specs, f"output_blocks.{i}", h, emb, t_context, v_context,
-                capture_attn, attn_maps,
-            )
-
-        h = self.out_norm(h)
-        h = silu(h)
-        h = self.out_conv(h)
-        return h.astype(jnp.float32), attn_maps
+    def decode_cached(
+        self,
+        hs: Tuple[Array, ...],
+        timesteps: Array,
+        t_context: Optional[Array] = None,
+        v_context: Optional[Array] = None,
+        y: Optional[Array] = None,
+    ) -> Array:
+        """Middle + output blocks only, consuming a `forward_cached` skip
+        stack with the CURRENT timestep embedding (the approximation of
+        encoder propagation — input blocks are skipped entirely)."""
+        emb, t_context, v_context = self._prepare(timesteps, t_context, v_context, y)
+        return self._run_decoder(hs, emb, t_context, v_context, False, {})
