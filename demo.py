@@ -54,7 +54,8 @@ def demo_predict(cfgs, bundle, params, batch, steps, scale, seed, aae=False, det
     cached so repeated demo calls reuse the executable."""
     from udifftext_tpu.predict import JittedPredictor
 
-    key = (id(bundle.engine), int(steps), float(scale), bool(aae), bool(detailed))
+    encprop = int(cfgs.get("encprop_interval", 0))
+    key = (id(bundle.engine), int(steps), float(scale), bool(aae), bool(detailed), encprop)
     predictor = _PREDICTORS.get(key)
     if predictor is None:
         predictor = _PREDICTORS[key] = JittedPredictor(
@@ -64,6 +65,7 @@ def demo_predict(cfgs, bundle, params, batch, steps, scale, seed, aae=False, det
             noise_iters=int(cfgs.get("noise_iters", 10)),
             aae_enabled=aae,
             detailed=detailed,
+            encprop_interval=encprop,
         )
     samples, aux = predictor(params, batch, jax.random.PRNGKey(seed))
     out = (np.asarray(samples)[0] * 255).astype(np.uint8)

@@ -60,6 +60,8 @@ def make_predictor(cfgs, bundle, sampler) -> JittedPredictor:
         aae_enabled=bool(cfgs.get("aae_enabled", False)),
         detailed=bool(cfgs.get("detailed", False)),
         mesh=mesh,
+        # opt-in APPROXIMATE fast sampling (arXiv 2312.09608); 0 = faithful
+        encprop_interval=int(cfgs.get("encprop_interval", 0)),
     )
 
 

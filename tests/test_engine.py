@@ -100,6 +100,32 @@ def test_sample_fast_path(engine_and_params):
     assert np.all(np.isfinite(np.asarray(img)))
 
 
+def test_sample_encprop(engine_and_params):
+    """Opt-in encoder-propagation sampling through the full engine path:
+    finite [0,1] output, and interval=2 actually takes the approximate branch
+    (differs from the exact sampler under identical rngs)."""
+    eng, params = engine_and_params
+    # rebuild containers (leaves shared) then swap in a non-zero output conv —
+    # with the SD zero-init the UNet output is 0 and any two samplers agree
+    params = jax.tree.map(lambda x: x, params)
+    oc = params["unet"]["params"]["out_conv"]["Conv_0"]
+    oc["kernel"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(9), oc["kernel"].shape, oc["kernel"].dtype
+    )
+    batch = _batch(1)
+    exact, _ = eng.sample(
+        params, batch, jax.random.PRNGKey(3), num_steps=4, noise_iters=0
+    )
+    prop, _ = eng.sample(
+        params, batch, jax.random.PRNGKey(3), num_steps=4, noise_iters=0,
+        encprop_interval=2,
+    )
+    assert prop.shape == exact.shape
+    assert np.all(np.isfinite(np.asarray(prop)))
+    assert float(jnp.min(prop)) >= 0.0 and float(jnp.max(prop)) <= 1.0
+    assert not np.allclose(np.asarray(prop), np.asarray(exact))
+
+
 def test_sample_aae_detailed(engine_and_params):
     eng, params = engine_and_params
     batch = _batch(1)

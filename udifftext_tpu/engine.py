@@ -148,6 +148,47 @@ class DiffusionEngine:
 
         return denoise_aux
 
+    def make_denoise_fns_encprop(self, params, c, uc, cfg_scale: float):
+        """Key/reuse denoise pair for encoder-propagation sampling (opt-in
+        APPROXIMATE mode, arXiv 2312.09608; see
+        diffusion/sampling.sample_euler_edm_encprop). The cache is the UNet's
+        CFG-doubled encoder skip stack, threaded through the denoiser's aux
+        channel on key steps."""
+        from .models.unet import UNetModel
+
+        guider = VanillaCFG(cfg_scale)
+
+        def net_full(x, c_noise, cond):
+            xin = x
+            if "concat" in cond:
+                xin = jnp.concatenate([x, cond["concat"].astype(x.dtype)], axis=-1)
+            return self.unet.apply(
+                params["unet"], xin, c_noise,
+                cond.get("t_crossattn"), cond.get("v_crossattn"), cond.get("vector"),
+                method=UNetModel.forward_cached,
+            )
+
+        def denoise_full(x, sigma):
+            x_in, s_in, c_in = guider.prepare_inputs(x, sigma, c, uc)
+            d, hs = self.denoiser(net_full, x_in, s_in, c_in)
+            return guider(d, sigma), hs
+
+        def denoise_reuse(x, sigma, hs):
+            x_in, s_in, c_in = guider.prepare_inputs(x, sigma, c, uc)
+
+            def net(_xin, c_noise, cond):
+                out = self.unet.apply(
+                    params["unet"], hs, c_noise,
+                    cond.get("t_crossattn"), cond.get("v_crossattn"), cond.get("vector"),
+                    method=UNetModel.decode_cached,
+                )
+                return out, None
+
+            d, _ = self.denoiser(net, x_in, s_in, c_in)
+            return guider(d, sigma)
+
+        return denoise_full, denoise_reuse
+
     def get_init_noise(
         self,
         params,
@@ -255,11 +296,18 @@ class DiffusionEngine:
         detailed: bool = False,
         latent_hw: Optional[Tuple[int, int]] = None,
         return_latents: bool = False,
+        encprop_interval: int = 0,
     ):
         """Full text-inpainting sampling (test.py predict() semantics).
 
         Returns decoded images in [0, 1] (B, H, W, 3); with detailed=True also
         the middle-step attention maps.
+
+        encprop_interval > 1 opts into APPROXIMATE encoder-propagation
+        sampling for the main scan (full UNet every k-th step only — arXiv
+        2312.09608); ignored when aae_enabled/detailed need per-step
+        attention maps. NOT the reference sampler; validate quality before
+        production use.
         """
         b = batch["image"].shape[0] if "image" in batch else batch["masked"].shape[0]
         if latent_hw is None:
@@ -277,8 +325,13 @@ class DiffusionEngine:
         x = SP.init_latent(x0, sigmas)
 
         if not (aae_enabled or detailed):
-            denoise = self.make_denoise_fn(params, c, uc, cfg_scale)
-            z = SP.sample_euler_edm(denoise, x, sigmas)
+            if encprop_interval > 1:
+                df, dr = self.make_denoise_fns_encprop(params, c, uc, cfg_scale)
+                key_mask = jnp.asarray(SP.uniform_key_mask(num_steps, encprop_interval))
+                z = SP.sample_euler_edm_encprop(df, dr, x, sigmas, key_mask)
+            else:
+                denoise = self.make_denoise_fn(params, c, uc, cfg_scale)
+                z = SP.sample_euler_edm(denoise, x, sigmas)
             aux_out = {}
         else:
             z, aux_out, per_step = self._sample_guided(

@@ -36,6 +36,7 @@ class JittedPredictor:
         aae_enabled: bool = False,
         detailed: bool = False,
         mesh=None,
+        encprop_interval: int = 0,
     ):
         self.engine = engine
         self.num_steps = int(num_steps)
@@ -43,6 +44,7 @@ class JittedPredictor:
         self.noise_iters = int(noise_iters)
         self.aae_enabled = bool(aae_enabled)
         self.detailed = bool(detailed)
+        self.encprop_interval = int(encprop_interval)
         self.mesh = mesh
         self.n_compiles = 0
         # generic embedder graphs read extra array keys (e.g. a
@@ -63,6 +65,7 @@ class JittedPredictor:
                 noise_iters=self.noise_iters,
                 aae_enabled=self.aae_enabled,
                 detailed=self.detailed,
+                encprop_interval=self.encprop_interval,
             )
 
         if mesh is not None:
