@@ -113,7 +113,9 @@ def build(batch_size: int, bf16_params: bool = True, vae_bf16: bool = True,
     # divide the batch — pick the largest divisor ≤ 16.
     decode_chunk = max(d for d in range(1, min(b, 16) + 1) if b % d == 0)
 
-    key_mask = jnp.asarray(SP.uniform_key_mask(50, encprop_interval or 1))
+    key_mask = jnp.asarray(
+        SP.uniform_key_mask(int(sigmas.shape[0]) - 1, encprop_interval or 1)
+    )
 
     @jax.jit
     def sample(rng):
@@ -320,6 +322,12 @@ def main():
         # the cached skip stack otherwise. Not the faithful pipeline; the
         # default metric stays the exact sampler.
         interval = int(mode[len("encprop"):] or 2)
+        if interval < 2:
+            raise SystemExit(
+                "encprop interval must be >= 2 (interval 1 would be the exact "
+                "sampler reported under the approximate metric — use the "
+                "default mode instead)"
+            )
         sample = build(batch_size, encprop_interval=interval)
         scope = (
             "APPROXIMATE encoder-propagation sampling (arXiv 2312.09608): "

@@ -130,6 +130,8 @@ def test_diagonal_gaussian_regularizer():
     )
     out_s, _ = diagonal_gaussian_regularizer(z, rng=jax.random.PRNGKey(1), sample=True)
     assert not np.allclose(np.asarray(out_s), np.asarray(out))
+    with pytest.raises(ValueError, match="requires an rng"):
+        diagonal_gaussian_regularizer(z, sample=True)
 
 
 def test_measure_perplexity():

@@ -163,7 +163,14 @@ def sample_euler_edm_encprop(
     """
     num_sigmas = sigmas.shape[0]
     batch = x.shape[0]
-    key_mask = jnp.asarray(key_mask).at[0].set(True)
+    key_mask = jnp.asarray(key_mask)
+    if key_mask.shape[0] != num_sigmas - 1:
+        # JAX clamps out-of-bounds gathers, so a short mask would silently
+        # repeat its last decision instead of erroring
+        raise ValueError(
+            f"key_mask has {key_mask.shape[0]} entries for {num_sigmas - 1} steps"
+        )
+    key_mask = key_mask.at[0].set(True)
 
     sigma0 = jnp.full((batch,), sigmas[0], x.dtype)
     cache0 = jax.tree.map(

@@ -45,6 +45,12 @@ def diagonal_gaussian_regularizer(
     from ..models.vae import DiagonalGaussian
 
     posterior = DiagonalGaussian(z)
+    if sample and rng is None:
+        # the torch reference samples from its global RNG; JAX needs the key
+        raise ValueError(
+            "diagonal_gaussian_regularizer(sample=True) requires an rng key "
+            "(pass rng=..., or sample=False for the posterior mode)"
+        )
     out = posterior.sample(rng) if sample else posterior.mode()
     kl = posterior.kl()
     return out, {"kl_loss": jnp.sum(kl) / kl.shape[0]}

@@ -73,17 +73,21 @@ class DiffusionEngine:
 
     # -- network wrapper (OpenAIWrapper parity) ------------------------------
 
-    def network(self, params, capture_attn: bool = False):
+    def network(self, params, capture_attn: bool = False, method=None):
+        """OpenAIWrapper closure (wrappers.py:23-35). `method` selects an
+        alternative UNet entry point (e.g. UNetModel.forward_cached for
+        encoder propagation); such methods take no capture_attn argument."""
         def net(x: Array, c_noise: Array, cond: Dict[str, Any]):
             xin = x
             if "concat" in cond:
                 xin = jnp.concatenate(
                     [x, cond["concat"].astype(x.dtype)], axis=-1
                 )
+            kwargs = {} if method is not None else {"capture_attn": capture_attn}
             return self.unet.apply(
                 params["unet"], xin, c_noise,
                 cond.get("t_crossattn"), cond.get("v_crossattn"), cond.get("vector"),
-                capture_attn=capture_attn,
+                method=method, **kwargs,
             )
         return net
 
@@ -157,16 +161,7 @@ class DiffusionEngine:
         from .models.unet import UNetModel
 
         guider = VanillaCFG(cfg_scale)
-
-        def net_full(x, c_noise, cond):
-            xin = x
-            if "concat" in cond:
-                xin = jnp.concatenate([x, cond["concat"].astype(x.dtype)], axis=-1)
-            return self.unet.apply(
-                params["unet"], xin, c_noise,
-                cond.get("t_crossattn"), cond.get("v_crossattn"), cond.get("vector"),
-                method=UNetModel.forward_cached,
-            )
+        net_full = self.network(params, method=UNetModel.forward_cached)
 
         def denoise_full(x, sigma):
             x_in, s_in, c_in = guider.prepare_inputs(x, sigma, c, uc)
