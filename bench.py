@@ -266,6 +266,28 @@ def _wait_for_backend(max_wait_s: float = 900.0) -> None:
 
 
 def main():
+    try:
+        _main()
+    except RuntimeError as e:
+        if "backend" not in str(e).lower():
+            raise
+        # emit a parseable artifact explaining the outage rather than a bare
+        # traceback (a multi-hour tunnel outage occurred during round 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "inpaint_512_50step_samples_per_sec_per_chip",
+                    "value": None,
+                    "unit": "samples/s",
+                    "vs_baseline": None,
+                    "scope": f"SKIPPED: TPU backend unavailable after the 15-min wait ({e})",
+                }
+            )
+        )
+        sys.exit(3)
+
+
+def _main():
     from udifftext_tpu.utils.profiling import enable_persistent_cache
 
     enable_persistent_cache()
