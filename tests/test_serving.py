@@ -1,0 +1,260 @@
+"""Serving layer: micro-batching scheduler + HTTP front-end.
+
+The model side is injected as a fake predictor, so these run on any host —
+they pin the scheduling contract (static batch shapes, ordering, deadline
+flush, failure isolation) that keeps the TPU predictor at one compile.
+"""
+
+import base64
+import importlib.util
+import io
+import json
+import threading
+import time
+import urllib.request
+from os.path import dirname
+from os.path import join as ospj
+
+import numpy as np
+import pytest
+
+from udifftext_tpu.serving import InpaintRequest, InpaintService, MicroBatcher
+
+REPO = dirname(dirname(__file__))
+
+
+def _load_serve_module():
+    spec = importlib.util.spec_from_file_location(
+        "serve", ospj(REPO, "scripts", "serve.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# -- MicroBatcher ------------------------------------------------------------
+
+
+def test_full_batch_dispatches_before_deadline():
+    calls = []
+
+    def run(items):
+        calls.append(list(items))
+        return [i * 10 for i in items]
+
+    mb = MicroBatcher(run, max_batch=4, max_delay_ms=5000.0)
+    t0 = time.monotonic()
+    futs = [mb.submit(i) for i in range(4)]
+    results = [f.result(timeout=10) for f in futs]
+    elapsed = time.monotonic() - t0
+    mb.shutdown()
+    assert results == [0, 10, 20, 30]
+    assert elapsed < 4.0, "a full batch must not wait out the deadline"
+    assert [sorted(c) for c in calls] == [[0, 1, 2, 3]]
+
+
+def test_deadline_flushes_partial_batch():
+    sizes = []
+
+    def run(items):
+        sizes.append(len(items))
+        return items
+
+    mb = MicroBatcher(run, max_batch=8, max_delay_ms=100.0)
+    assert mb.submit("only").result(timeout=10) == "only"
+    mb.shutdown()
+    assert sizes == [1]
+
+
+def test_results_map_to_their_requests():
+    def run(items):
+        return [f"r:{i}" for i in items]
+
+    mb = MicroBatcher(run, max_batch=3, max_delay_ms=50.0)
+    futs = {i: mb.submit(i) for i in range(7)}
+    for i, f in futs.items():
+        assert f.result(timeout=10) == f"r:{i}"
+    mb.shutdown()
+    st = mb.stats()
+    assert st["requests"] == 7
+    assert st["batches"] >= 3  # 7 items across max-3 groups
+
+
+def test_error_fails_group_but_keeps_serving():
+    state = {"fail": True}
+
+    def run(items):
+        if state["fail"]:
+            raise RuntimeError("backend down")
+        return items
+
+    mb = MicroBatcher(run, max_batch=2, max_delay_ms=30.0)
+    f1, f2 = mb.submit(1), mb.submit(2)
+    with pytest.raises(RuntimeError, match="backend down"):
+        f1.result(timeout=10)
+    with pytest.raises(RuntimeError, match="backend down"):
+        f2.result(timeout=10)
+    state["fail"] = False
+    assert mb.submit(3).result(timeout=10) == 3
+    assert mb.stats()["errors"] == 2
+    mb.shutdown()
+
+
+def test_result_count_mismatch_is_an_error():
+    mb = MicroBatcher(lambda items: items[:-1] if len(items) > 1 else items,
+                      max_batch=2, max_delay_ms=1000.0)
+    f1, f2 = mb.submit(1), mb.submit(2)
+    with pytest.raises(RuntimeError, match="returned 1 results"):
+        f1.result(timeout=10)
+    with pytest.raises(RuntimeError):
+        f2.result(timeout=10)
+    mb.shutdown()
+
+
+def test_shutdown_rejects_new_requests():
+    mb = MicroBatcher(lambda items: items, max_batch=2, max_delay_ms=10.0)
+    mb.shutdown()
+    with pytest.raises(RuntimeError, match="shut down"):
+        mb.submit(1)
+
+
+# -- InpaintService ----------------------------------------------------------
+
+
+def _fake_predictor(max_batch, size, shapes_seen):
+    def predict(arr_batch, key):
+        shapes_seen.append({k: v.shape for k, v in arr_batch.items()})
+        assert arr_batch["image"].shape == (max_batch, size, size, 3)
+        assert arr_batch["mask"].shape == (max_batch, size, size, 1)
+        assert arr_batch["masked"].shape == (max_batch, size, size, 3)
+        assert arr_batch["seg_mask"].shape == (max_batch, 12)
+        assert arr_batch["label_ids"].shape == (max_batch, 12)
+        # per-row identifiable output: row index / 255 as a constant image
+        out = np.zeros((max_batch, size, size, 3), np.float32)
+        for i in range(max_batch):
+            out[i] = i / 255.0
+        return out
+
+    return predict
+
+
+def test_inpaint_service_pads_to_static_shape():
+    shapes = []
+    svc = InpaintService(
+        _fake_predictor(4, 16, shapes), max_batch=4, max_delay_ms=200.0, size=16
+    )
+    reqs = [
+        InpaintRequest(
+            image=np.full((8, 8, 3), 100, np.uint8),
+            mask=np.ones((8, 8), np.uint8),
+            text=f"t{i}",
+        )
+        for i in range(3)
+    ]
+    futs = [svc.submit(r) for r in reqs]
+    results = [f.result(timeout=20) for f in futs]
+    svc.shutdown()
+    # 3 requests -> one padded batch of 4; every presented shape identical
+    assert len(shapes) == 1
+    for i, res in enumerate(results):
+        assert res["row"] == i
+        assert res["batch_key"] == 0
+        assert np.all(res["image"] == i)  # row i's identifiable constant
+        assert res["image"].dtype == np.uint8
+
+
+def test_inpaint_service_key_counter_advances():
+    shapes = []
+    svc = InpaintService(
+        _fake_predictor(1, 16, shapes), max_batch=1, max_delay_ms=1.0, size=16
+    )
+    req = InpaintRequest(
+        image=np.zeros((8, 8, 3), np.uint8), mask=np.ones((8, 8)), text="x"
+    )
+    a = svc.inpaint(req, timeout=20)
+    b = svc.inpaint(req, timeout=20)
+    svc.shutdown()
+    assert (a["batch_key"], b["batch_key"]) == (0, 1)
+
+
+def test_inpaint_service_rejects_bad_text():
+    svc = InpaintService(
+        _fake_predictor(1, 16, []), max_batch=1, max_delay_ms=1.0, size=16
+    )
+    req = InpaintRequest(
+        image=np.zeros((8, 8, 3), np.uint8),
+        mask=np.ones((8, 8)),
+        text="way-too-long-for-twelve",
+    )
+    with pytest.raises(ValueError, match="1..12 characters"):
+        svc.inpaint(req, timeout=20)
+    svc.shutdown()
+
+
+# -- HTTP front-end -----------------------------------------------------------
+
+
+def _b64_png(arr):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def test_http_server_roundtrip():
+    from http.server import ThreadingHTTPServer
+
+    serve_mod = _load_serve_module()
+    svc = InpaintService(
+        _fake_predictor(2, 16, []), max_batch=2, max_delay_ms=10.0, size=16
+    )
+    ready = threading.Event()
+    ready.set()
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve_mod.make_handler(svc, ready)
+    )
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+            assert r.status == 200
+
+        payload = json.dumps(
+            {
+                "image": _b64_png(np.full((8, 8, 3), 128, np.uint8)),
+                "mask": _b64_png(np.full((8, 8), 255, np.uint8)),
+                "text": "ok",
+            }
+        ).encode()
+        req = urllib.request.Request(
+            base + "/v1/inpaint", data=payload,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            body = json.loads(r.read())
+        assert body["row"] == 0
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(base64.b64decode(body["image"])))
+        assert img.size == (16, 16)
+
+        with urllib.request.urlopen(base + "/v1/stats", timeout=10) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] == 1
+
+        # malformed request -> 400, server stays up
+        bad = urllib.request.Request(
+            base + "/v1/inpaint", data=b'{"text": "no images"}',
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=10)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+        svc.shutdown()

@@ -1,0 +1,292 @@
+"""Production serving: request micro-batching around the one-compile predictor.
+
+The reference's only serving surface is the interactive Gradio demo
+(/root/reference/demo.py:119-198) — one request, one GPU call. On TPU the
+economics are different: the jitted predict pipeline (predict.JittedPredictor)
+compiles once per batch-shape signature and the chip is throughput-oriented,
+so a production server must (a) coalesce concurrent requests into one
+fixed-size batch per dispatch and (b) never present a new shape to XLA.
+
+This module is deliberately JAX-free: the model side is injected as a
+callable, so the scheduling logic is unit-testable on any host and reusable
+for any batched backend (the flagship inpainting predictor, PARSeq OCR, ...).
+
+Components
+----------
+- ``MicroBatcher`` — a deadline-based request coalescer. Requests are queued;
+  a single dispatcher thread drains up to ``max_batch`` of them (waiting at
+  most ``max_delay_ms`` after the first request arrives) and hands the group
+  to ``run_batch``. One dispatcher thread == one device stream: TPU dispatch
+  is serialized by design, matching the single-chip execution model.
+- ``InpaintService`` — stacks inpainting requests into the engine's batch
+  dict (demo.py build_batch semantics), pads the batch to exactly
+  ``max_batch`` rows by replicating the last row (static shapes -> exactly
+  one XLA compile), runs the predictor, and slices the real rows back out.
+
+Determinism: every response carries ``batch_key`` (the integer fold-in used
+for the batch's PRNG key) and ``row`` (the request's position). Because the
+sampler draws the whole batch's noise from one key, a request's output is a
+function of (params, batch contents, batch_key, row); replaying those
+reproduces the image bit-exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+class MicroBatcher:
+    """Coalesce concurrent requests into bounded batches for one dispatcher.
+
+    Parameters
+    ----------
+    run_batch: called with a list of 1..max_batch queued items from the
+        dispatcher thread; must return a list of per-item results (same
+        order/length). An exception fails every request in the group but
+        leaves the batcher serving.
+    max_batch: maximum group size (the backend's static batch dimension).
+    max_delay_ms: how long the dispatcher waits for co-batchable requests
+        after the FIRST request of a group arrives. 0 = dispatch immediately
+        with whatever is queued.
+    """
+
+    def __init__(
+        self,
+        run_batch: Callable[[List[Any]], Sequence[Any]],
+        max_batch: int = 8,
+        max_delay_ms: float = 50.0,
+        queue_limit: int = 1024,
+    ):
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self._run_batch = run_batch
+        self.max_batch = int(max_batch)
+        self.max_delay = float(max_delay_ms) / 1000.0
+        self._queue: "queue.Queue" = queue.Queue(maxsize=queue_limit)
+        self._closed = False
+        self._stats_lock = threading.Lock()
+        self._n_requests = 0
+        self._n_batches = 0
+        self._n_errors = 0
+        self._batch_sizes: List[int] = []
+        self._thread = threading.Thread(
+            target=self._dispatch_loop, name="microbatcher", daemon=True
+        )
+        self._thread.start()
+
+    # -- client side --------------------------------------------------------
+
+    def submit(self, item: Any) -> Future:
+        """Enqueue one request; resolve its Future with run_batch's result."""
+        if self._closed:
+            raise RuntimeError("MicroBatcher is shut down")
+        fut: Future = Future()
+        self._queue.put((item, fut))
+        with self._stats_lock:
+            self._n_requests += 1
+        return fut
+
+    def shutdown(self, timeout: float = 30.0) -> None:
+        """Stop accepting requests, drain the queue, join the dispatcher."""
+        if self._closed:
+            return
+        self._closed = True
+        self._queue.put(None)  # wake the dispatcher
+        self._thread.join(timeout=timeout)
+
+    def stats(self) -> Dict[str, Any]:
+        with self._stats_lock:
+            sizes = list(self._batch_sizes[-100:])
+            return {
+                "requests": self._n_requests,
+                "batches": self._n_batches,
+                "errors": self._n_errors,
+                "queue_depth": self._queue.qsize(),
+                "mean_batch_size": float(np.mean(sizes)) if sizes else 0.0,
+                "max_batch": self.max_batch,
+            }
+
+    # -- dispatcher side ----------------------------------------------------
+
+    def _collect_group(self) -> List:
+        """Block for the first request, then gather until full or deadline."""
+        first = self._queue.get()
+        if first is None:
+            return []
+        group = [first]
+        deadline = time.monotonic() + self.max_delay
+        while len(group) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                # deadline passed — take whatever is already queued, no wait
+                try:
+                    nxt = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+            else:
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+            if nxt is None:
+                # shutdown marker: finish this group, then exit on next loop
+                self._queue.put(None)
+                break
+            group.append(nxt)
+        return group
+
+    def _drain_cancelled(self) -> None:
+        """After shutdown: fail anything that raced past the closed check."""
+        while True:
+            try:
+                entry = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if entry is not None:
+                entry[1].set_exception(RuntimeError("MicroBatcher is shut down"))
+
+    def _dispatch_loop(self) -> None:
+        while True:
+            group = self._collect_group()
+            if not group:
+                self._drain_cancelled()
+                return
+            items = [item for item, _ in group]
+            futures = [fut for _, fut in group]
+            try:
+                results = self._run_batch(items)
+                if len(results) != len(items):
+                    raise RuntimeError(
+                        f"run_batch returned {len(results)} results for "
+                        f"{len(items)} items"
+                    )
+            except Exception as e:  # noqa: BLE001 — fail the group, keep serving
+                with self._stats_lock:
+                    self._n_errors += len(items)
+                for fut in futures:
+                    fut.set_exception(e)
+                continue
+            with self._stats_lock:
+                self._n_batches += 1
+                self._batch_sizes.append(len(items))
+                if len(self._batch_sizes) > 1000:
+                    del self._batch_sizes[:-100]
+            for fut, res in zip(futures, results):
+                fut.set_result(res)
+
+
+@dataclasses.dataclass
+class InpaintRequest:
+    """One scene-text inpainting request (demo.py build_batch semantics)."""
+
+    image: np.ndarray  # (H, W, 3) uint8
+    mask: np.ndarray  # (H, W) anything truthy where the text goes
+    text: str
+
+
+class InpaintService:
+    """Batch assembly + static-shape padding around a predictor callable.
+
+    ``predictor(arr_batch: dict, key: int) -> np.ndarray (max_batch, H, W, 3)``
+    is injected; in production it wraps ``JittedPredictor.__call__`` with the
+    loaded params and a PRNG key derived from ``key`` (see scripts/serve.py).
+    Every presented batch has exactly ``max_batch`` rows — short groups are
+    padded by replicating the last real row — so the predictor traces once.
+    """
+
+    def __init__(
+        self,
+        predictor: Callable[[Dict[str, np.ndarray], int], np.ndarray],
+        max_batch: int = 8,
+        max_delay_ms: float = 50.0,
+        size: int = 512,
+        seq_len: int = 12,
+    ):
+        self.predictor = predictor
+        self.size = int(size)
+        self.seq_len = int(seq_len)
+        self.max_batch = int(max_batch)
+        self._key_counter = 0
+        self._key_lock = threading.Lock()
+        self.batcher = MicroBatcher(
+            self._run_group, max_batch=max_batch, max_delay_ms=max_delay_ms
+        )
+
+    # -- request -> model-batch row ------------------------------------------
+
+    def _build_row(self, req: InpaintRequest) -> Dict[str, np.ndarray]:
+        from PIL import Image
+
+        from .charset import encode_label
+
+        if not req.text or len(req.text) > self.seq_len:
+            raise ValueError(
+                f"text must be 1..{self.seq_len} characters, got {req.text!r}"
+            )
+        s = self.size
+        img = np.asarray(
+            Image.fromarray(np.asarray(req.image, np.uint8)).resize((s, s)),
+            np.float32,
+        ) / 127.5 - 1.0
+        mask = np.asarray(
+            Image.fromarray((np.asarray(req.mask) > 0).astype(np.uint8) * 255)
+            .resize((s, s), Image.NEAREST),
+            np.float32,
+        )[..., None] / 255.0
+        seg_mask = np.zeros((self.seq_len,), np.float32)
+        seg_mask[: len(req.text)] = 1.0
+        return {
+            "image": img,
+            "mask": mask,
+            "masked": img * (1.0 - mask),
+            "seg_mask": seg_mask,
+            "label_ids": np.asarray(encode_label(req.text, self.seq_len)),
+        }
+
+    def _run_group(self, reqs: List[InpaintRequest]) -> List[Dict[str, Any]]:
+        rows = [self._build_row(r) for r in reqs]
+        # pad to the static batch size by replicating the last row — XLA sees
+        # exactly one (max_batch, ...) signature for the life of the server
+        while len(rows) < self.max_batch:
+            rows.append(rows[-1])
+        arr_batch = {
+            k: np.stack([row[k] for row in rows]) for k in rows[0]
+        }
+        with self._key_lock:
+            key = self._key_counter
+            self._key_counter += 1
+        images = np.asarray(self.predictor(arr_batch, key))
+        if images.shape[0] != self.max_batch:
+            raise RuntimeError(
+                f"predictor returned batch {images.shape[0]}, expected "
+                f"{self.max_batch}"
+            )
+        return [
+            {
+                "image": (np.clip(images[i], 0.0, 1.0) * 255).astype(np.uint8),
+                "batch_key": key,
+                "row": i,
+            }
+            for i in range(len(reqs))
+        ]
+
+    # -- public API -----------------------------------------------------------
+
+    def submit(self, req: InpaintRequest) -> Future:
+        return self.batcher.submit(req)
+
+    def inpaint(self, req: InpaintRequest, timeout: Optional[float] = None):
+        return self.submit(req).result(timeout=timeout)
+
+    def stats(self) -> Dict[str, Any]:
+        return self.batcher.stats()
+
+    def shutdown(self) -> None:
+        self.batcher.shutdown()
