@@ -185,7 +185,11 @@ def main():
             mask=np.ones((64, 64), np.uint8),
             text="warmup",
         )
-        service.inpaint(dummy)
+        try:
+            service.inpaint(dummy)
+        except Exception as e:  # noqa: BLE001 — keep /healthz honest, not silent
+            print(f"FATAL: warmup compile failed, /healthz stays 503: {e}")
+            raise
         ready.set()
         print("pipeline compiled; serving traffic")
 

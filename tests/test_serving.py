@@ -191,6 +191,30 @@ def test_inpaint_service_rejects_bad_text():
     svc.shutdown()
 
 
+def test_bad_request_does_not_poison_cobatched_group():
+    """Validation happens at submit time: an invalid request fails alone,
+    while the valid request it would have been co-batched with succeeds."""
+    svc = InpaintService(
+        _fake_predictor(2, 16, []), max_batch=2, max_delay_ms=150.0, size=16
+    )
+    good = svc.submit(
+        InpaintRequest(
+            image=np.zeros((8, 8, 3), np.uint8), mask=np.ones((8, 8)), text="ok"
+        )
+    )
+    with pytest.raises(ValueError, match="1..12 characters"):
+        svc.submit(
+            InpaintRequest(
+                image=np.zeros((8, 8, 3), np.uint8),
+                mask=np.ones((8, 8)),
+                text="",
+            )
+        )
+    res = good.result(timeout=20)
+    svc.shutdown()
+    assert res["row"] == 0 and np.all(res["image"] == 0)
+
+
 # -- HTTP front-end -----------------------------------------------------------
 
 

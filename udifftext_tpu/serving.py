@@ -89,6 +89,11 @@ class MicroBatcher:
             raise RuntimeError("MicroBatcher is shut down")
         fut: Future = Future()
         self._queue.put((item, fut))
+        if self._closed and not self._thread.is_alive():
+            # raced past the closed check after the dispatcher's final drain:
+            # nobody will ever pick this up — fail it here instead of hanging
+            self._drain_cancelled()
+            return fut
         with self._stats_lock:
             self._n_requests += 1
         return fut
@@ -100,6 +105,7 @@ class MicroBatcher:
         self._closed = True
         self._queue.put(None)  # wake the dispatcher
         self._thread.join(timeout=timeout)
+        self._drain_cancelled()  # anything that raced in after the final drain
 
     def stats(self) -> Dict[str, Any]:
         with self._stats_lock:
@@ -250,10 +256,11 @@ class InpaintService:
             "label_ids": np.asarray(encode_label(req.text, self.seq_len)),
         }
 
-    def _run_group(self, reqs: List[InpaintRequest]) -> List[Dict[str, Any]]:
-        rows = [self._build_row(r) for r in reqs]
+    def _run_group(self, rows: List[Dict[str, np.ndarray]]) -> List[Dict[str, Any]]:
+        n_real = len(rows)
         # pad to the static batch size by replicating the last row — XLA sees
         # exactly one (max_batch, ...) signature for the life of the server
+        rows = list(rows)
         while len(rows) < self.max_batch:
             rows.append(rows[-1])
         arr_batch = {
@@ -274,13 +281,16 @@ class InpaintService:
                 "batch_key": key,
                 "row": i,
             }
-            for i in range(len(reqs))
+            for i in range(n_real)
         ]
 
     # -- public API -----------------------------------------------------------
 
     def submit(self, req: InpaintRequest) -> Future:
-        return self.batcher.submit(req)
+        # build (and validate) the row HERE, on the caller's thread: an
+        # invalid request fails synchronously instead of poisoning the whole
+        # co-batched group inside the dispatcher
+        return self.batcher.submit(self._build_row(req))
 
     def inpaint(self, req: InpaintRequest, timeout: Optional[float] = None):
         return self.submit(req).result(timeout=timeout)
