@@ -63,20 +63,31 @@ def region_draw_text(
     return out
 
 
-def _resolve_font(cfgs) -> Optional[str]:
-    """font_path from config, else the bundled-arial location, else
-    matplotlib's DejaVu Sans — so `rendered` is present consistently across
-    datasets (the reference emits it from ICDAR13 and TextSeg,
-    dataloader.py:266,467; a missing font silently dropped the key here)."""
-    p = cfgs.get("font_path", ospj(os.path.dirname(__file__), "assets", "arial.ttf"))
-    if os.path.exists(p):
-        return p
+def resolve_font_path(font_path: Optional[str] = None) -> Optional[str]:
+    """Resolve a usable TTF path: the explicit `font_path` if it exists, else
+    the bundled-arial location (the reference ships dataset/utils/arial.ttf;
+    we do not bundle a binary font), else matplotlib's DejaVu Sans. Returns
+    None only when nothing is found."""
+    candidates = [font_path] if font_path else []
+    candidates.append(ospj(os.path.dirname(__file__), "assets", "arial.ttf"))
+    for p in candidates:
+        if p and os.path.exists(p):
+            return p
     try:
         import matplotlib.font_manager as fm
 
-        return fm.findfont("DejaVu Sans")
+        p = fm.findfont("DejaVu Sans")
+        return p if p and os.path.exists(p) else None
     except Exception:
         return None
+
+
+def _resolve_font(cfgs) -> Optional[str]:
+    """font_path from config, else bundled, else DejaVu Sans — so `rendered`
+    is present consistently across datasets (the reference emits it from
+    ICDAR13 and TextSeg, dataloader.py:266,467; a missing font silently
+    dropped the key here)."""
+    return resolve_font_path(cfgs.get("font_path"))
 
 
 def _finalize(
@@ -499,9 +510,21 @@ class LabelDataset:
     def __init__(self, size=224, length=100000, font_path=None, min_len=1, max_len=12, seed=None):
         self.size = size
         self.length = length
-        self.font_path = font_path or ospj(
-            os.path.dirname(__file__), "assets", "arial.ttf"
-        )
+        self.font_path = resolve_font_path(font_path)
+        if self.font_path is None:
+            raise FileNotFoundError(
+                "LabelDataset needs a TTF font but none was found: "
+                f"font_path={font_path!r} does not exist, no bundled "
+                "assets/arial.ttf, and matplotlib's DejaVu Sans is "
+                "unavailable. Pass font_path= explicitly (e.g. any .ttf on "
+                "this machine) or set dataset.params.font_path in the "
+                "pretrain config."
+            )
+        # Load once, eagerly: an unloadable font must raise here with a clear
+        # message, never be swallowed per-item (a silent retry loop would hang
+        # pretraining forever — the reference's dataloader.py:84 assumes the
+        # bundled arial.ttf always loads).
+        self._font = ImageFont.truetype(self.font_path, 128)
         self.min_len = min_len
         self.max_len = max_len
         self.rng = random.Random(seed)
@@ -510,19 +533,16 @@ class LabelDataset:
         return self.length
 
     def __getitem__(self, index):
+        font = self._font
         while True:
             text_len = self.rng.randint(self.min_len, self.max_len)
             text = "".join(self.rng.choice(CHARSET) for _ in range(text_len))
-            try:
-                font = ImageFont.truetype(self.font_path, 128)
-                l, t, r, b = font.getbbox(text)
-                std_h, std_w = b - t, r - l
-                if std_h == 0 or std_w == 0:
-                    continue
-                img = Image.new("RGB", (std_w, std_h), color=(0, 0, 0))
-                ImageDraw.Draw(img).text((0, 0), text, fill=(255, 255, 255), font=font, anchor="lt")
-            except OSError:
-                continue
+            l, t, r, b = font.getbbox(text)
+            std_h, std_w = b - t, r - l
+            if std_h == 0 or std_w == 0:
+                continue  # degenerate glyph run; new random text next round
+            img = Image.new("RGB", (std_w, std_h), color=(0, 0, 0))
+            ImageDraw.Draw(img).text((0, 0), text, fill=(255, 255, 255), font=font, anchor="lt")
             img = img.convert("L").resize((self.size, self.size), Image.BICUBIC)
             arr = np.asarray(img, np.float32)[..., None] / 255.0  # (S, S, 1)
             return {"image": arr, "text": text}
