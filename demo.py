@@ -58,6 +58,11 @@ def demo_predict(cfgs, bundle, params, batch, steps, scale, seed, aae=False, det
     key = (id(bundle.engine), int(steps), float(scale), bool(aae), bool(detailed), encprop)
     predictor = _PREDICTORS.get(key)
     if predictor is None:
+        ckpt_id = None
+        if encprop > 1:
+            from udifftext_tpu.utils.encprop_gate import ckpt_file_id
+
+            ckpt_id = ckpt_file_id(cfgs.get("load_ckpt_path"))
         predictor = _PREDICTORS[key] = JittedPredictor(
             bundle.engine,
             num_steps=steps,
@@ -66,6 +71,7 @@ def demo_predict(cfgs, bundle, params, batch, steps, scale, seed, aae=False, det
             aae_enabled=aae,
             detailed=detailed,
             encprop_interval=encprop,
+            ckpt_id=ckpt_id,
         )
     samples, aux = predictor(params, batch, jax.random.PRNGKey(seed))
     out = (np.asarray(samples)[0] * 255).astype(np.uint8)

@@ -74,6 +74,11 @@ def main():
     ap.add_argument("--intervals", default="2,3")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--scale", type=float, default=5.0)
+    ap.add_argument(
+        "--report-id", default=None,
+        help="override the quality-report key (testing the gate only; "
+        "normally the key is the checkpoint's content hash)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -117,14 +122,36 @@ def main():
 
     print(f"encprop quality vs exact — {mode}; steps={args.steps}")
     exact = run(0)
+    intervals = {}
     for k in [int(v) for v in args.intervals.split(",") if v]:
         approx = run(k)
         mse = float(np.mean((exact - approx) ** 2))
         psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+        max_abs = float(np.max(np.abs(exact - approx)))
         print(
-            f"interval {k}: PSNR {psnr:6.2f} dB  max|Δ| {float(np.max(np.abs(exact - approx))):.4f}"
+            f"interval {k}: PSNR {psnr:6.2f} dB  max|Δ| {max_abs:.4f}"
             f"  mean|Δ| {float(np.mean(np.abs(exact - approx))):.5f}"
         )
+        intervals[str(k)] = {"psnr": round(psnr, 3), "max_abs": round(max_abs, 5)}
+
+    # persist the report the predictor's quality gate consumes
+    # (udifftext_tpu/utils/encprop_gate.py). Keyed by the checkpoint's
+    # content hash; random-init results are NOT written (they say nothing
+    # about real quality) unless --report-id forces a key for gate testing.
+    from udifftext_tpu.utils.encprop_gate import ckpt_file_id, write_report
+
+    report_id = args.report_id
+    if report_id is None and args.ckpt and os.path.exists(args.ckpt):
+        report_id = ckpt_file_id(args.ckpt)
+    if report_id:
+        path = write_report(report_id, {
+            "mode": mode, "steps": args.steps, "scale": args.scale,
+            "size": args.size, "text": args.text, "intervals": intervals,
+        })
+        print(f"report written: {path}")
+    else:
+        print("report NOT written (random-init run — pass --ckpt for a real "
+              "report, or --report-id to force a key for gate tests)")
 
 
 if __name__ == "__main__":

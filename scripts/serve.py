@@ -141,12 +141,19 @@ def build_service(args) -> InpaintService:
     sampler = init_sampling(cfgs)
     steps = args.steps if args.steps is not None else sampler.num_steps
     scale = args.scale if args.scale is not None else sampler.cfg_scale
+    encprop = int(cfgs.get("encprop_interval", 0))
+    ckpt_id = None
+    if encprop > 1:
+        from udifftext_tpu.utils.encprop_gate import ckpt_file_id
+
+        ckpt_id = ckpt_file_id(cfgs.get("load_ckpt_path"))
     predictor = JittedPredictor(
         bundle.engine,
         num_steps=int(steps),
         cfg_scale=float(scale),
         noise_iters=int(cfgs.get("noise_iters", 10)),
-        encprop_interval=int(cfgs.get("encprop_interval", 0)),
+        encprop_interval=encprop,
+        ckpt_id=ckpt_id,
     )
     base_key = jax.random.PRNGKey(args.seed)
 

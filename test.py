@@ -60,9 +60,23 @@ def make_predictor(cfgs, bundle, sampler) -> JittedPredictor:
         aae_enabled=bool(cfgs.get("aae_enabled", False)),
         detailed=bool(cfgs.get("detailed", False)),
         mesh=mesh,
-        # opt-in APPROXIMATE fast sampling (arXiv 2312.09608); 0 = faithful
+        # opt-in APPROXIMATE fast sampling (arXiv 2312.09608); 0 = faithful.
+        # The predictor's quality gate refuses encprop for a checkpoint with
+        # no recorded quality report (scripts/encprop_quality.py writes one)
         encprop_interval=int(cfgs.get("encprop_interval", 0)),
+        ckpt_id=_ckpt_id_if_encprop(cfgs),
     )
+
+
+def _ckpt_id_if_encprop(cfgs):
+    """Checkpoint content hash for the encprop quality gate — computed only
+    when the approximate mode is requested (hashing a multi-GB ckpt is not
+    free)."""
+    if int(cfgs.get("encprop_interval", 0)) <= 1:
+        return None
+    from udifftext_tpu.utils.encprop_gate import ckpt_file_id
+
+    return ckpt_file_id(cfgs.get("load_ckpt_path"))
 
 
 def predict(cfgs, predictor, params, batch, rng):

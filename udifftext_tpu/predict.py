@@ -37,6 +37,8 @@ class JittedPredictor:
         detailed: bool = False,
         mesh=None,
         encprop_interval: int = 0,
+        ckpt_id: Optional[str] = None,
+        min_quality_psnr: Optional[float] = None,
     ):
         self.engine = engine
         self.num_steps = int(num_steps)
@@ -45,6 +47,18 @@ class JittedPredictor:
         self.aae_enabled = bool(aae_enabled)
         self.detailed = bool(detailed)
         self.encprop_interval = int(encprop_interval)
+        if self.encprop_interval > 1:
+            # approximate sampling is opt-in AND gated on recorded quality
+            # evidence for the loaded checkpoint (utils/encprop_gate.py):
+            # refuses with a known ckpt_id and no report; warns loudly once
+            # when the checkpoint identity is unknown (fresh init)
+            from .utils.encprop_gate import DEFAULT_MIN_PSNR, gate_encprop
+
+            gate_encprop(
+                ckpt_id,
+                self.encprop_interval,
+                DEFAULT_MIN_PSNR if min_quality_psnr is None else float(min_quality_psnr),
+            )
         self.mesh = mesh
         self.n_compiles = 0
         # generic embedder graphs read extra array keys (e.g. a
