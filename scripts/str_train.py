@@ -28,6 +28,12 @@ def main():
     ap.add_argument("--warmup_pct", type=float, default=0.075)
     ap.add_argument("--perm_num", type=int, default=6)
     ap.add_argument("--ckpt_dir", default="./checkpoints/parseq_tpu")
+    ap.add_argument("--swa", action="store_true",
+                    help="stochastic weight averaging over the training tail "
+                         "(reference: Lightning StochasticWeightAveraging("
+                         "swa_epoch_start=0.75), src/parseq/train.py:69); the "
+                         "SAVED checkpoint carries the averaged params")
+    ap.add_argument("--swa_start_pct", type=float, default=0.75)
     args = ap.parse_args()
 
     import cv2
@@ -41,7 +47,7 @@ def main():
         PARSeq, ParseqTokenizer, gen_tgt_perms, parseq_training_loss,
         perm_attn_masks,
     )
-    from udifftext_tpu.parallel.train import TrainState
+    from udifftext_tpu.parallel.train import TrainState, swa_update
     from udifftext_tpu.utils.ckpt_orbax import save_checkpoint
 
     items = load_folder(args.data_root)
@@ -67,6 +73,10 @@ def main():
         new_params = optax.apply_updates(state.params, updates)
         return state.replace(step=state.step + 1, params=new_params, opt_state=opt_state), loss
 
+    swa_from = int(args.steps * args.swa_start_pct) if args.swa else args.steps
+    swa_avg, swa_n = None, 0
+    swa_step = jax.jit(swa_update)
+
     rng = np.random.default_rng(0)
     t0 = time.time()
     for i in range(args.steps):
@@ -82,10 +92,20 @@ def main():
         perms = gen_tgt_perms(rng, ids.shape[1] - 2, perm_num=args.perm_num)
         cms, qms = perm_attn_masks(perms)
         state, loss = step(state, images, ids, jnp.asarray(cms), jnp.asarray(qms))
+        if args.swa and i >= swa_from:
+            swa_avg = state.params if swa_avg is None else swa_step(
+                swa_avg, state.params, jnp.asarray(swa_n, jnp.float32)
+            )
+            swa_n += 1
         if (i + 1) % 20 == 0:
             print(f"step {i+1}/{args.steps} loss {float(loss):.4f} "
                   f"({(time.time()-t0)/20:.2f}s/step)")
             t0 = time.time()
+    if args.swa and swa_avg is not None:
+        # the checkpoint (what str_test.py evaluates) carries the averaged
+        # params, matching Lightning SWA's swap-in-at-end semantics
+        state = state.replace(params=swa_avg)
+        print(f"swa: averaged {swa_n} snapshots from step {swa_from + 1}")
     print(f"saved {save_checkpoint(args.ckpt_dir, state, args.steps)}")
 
 

@@ -149,16 +149,23 @@ def test_str_train_cli_on_folder_and_lmdb(tmp_path):
         items[b"label-%09d" % i] = label.encode()
     write_lmdb(ld, items)
 
-    for root in (str(fd), ld):
+    # folder layout also exercises --swa (reference wires Lightning
+    # StochasticWeightAveraging(swa_epoch_start=0.75) into the parseq
+    # trainer, src/parseq/train.py:69): the tail-averaged params are what
+    # gets checkpointed, i.e. what str_test.py evaluates
+    for root, extra in ((str(fd), ["--steps", "4", "--swa",
+                                   "--swa_start_pct", "0.5"]),
+                        (ld, ["--steps", "2"])):
         out = subprocess.run(
             [sys.executable, "scripts/str_train.py", "--data_root", root,
-             "--steps", "2", "--batch", "2",
-             "--ckpt_dir", str(tmp_path / "ckpt")],
+             "--batch", "2", "--ckpt_dir", str(tmp_path / "ckpt")] + extra,
             capture_output=True, text=True, env=_cpu_subprocess_env(),
             cwd="/root/repo", timeout=900,
         )
         assert out.returncode == 0, (root, out.stderr[-2000:])
-        assert "step 2/2" in out.stdout or "saved" in out.stdout, out.stdout
+        assert "saved" in out.stdout, out.stdout
+        if "--swa" in extra:
+            assert "swa: averaged 2 snapshots from step 3" in out.stdout, out.stdout
 
 
 def test_lmdb_str_dataset_charset_adapter(tmp_path):

@@ -349,3 +349,22 @@ def test_make_global_batch_shards_over_data_axis():
     # each data shard owns 2 consecutive batch rows
     shard_shapes = {s.data.shape for s in img.addressable_shards}
     assert shard_shapes == {(2, 4, 4, 3)}
+
+
+def test_swa_update_running_mean():
+    """swa_update is an equal-weight running mean (Lightning SWA semantics,
+    reference src/parseq/train.py:69) and accepts a traced count."""
+    import jax
+    import jax.numpy as jnp
+
+    from udifftext_tpu.parallel.train import swa_update
+
+    snaps = [{"w": jnp.asarray(float(v))} for v in (1.0, 5.0, 9.0)]
+    avg = snaps[0]
+    jit_swa = jax.jit(swa_update)
+    for n, p in enumerate(snaps[1:], start=1):
+        avg = jit_swa(avg, p, jnp.asarray(n, jnp.float32))
+    assert abs(float(avg["w"]) - 5.0) < 1e-6  # mean(1, 5, 9)
+    # n_avg=0 returns the incoming params regardless of the carry
+    fresh = swa_update({"w": jnp.asarray(123.0)}, {"w": jnp.asarray(2.0)}, 0)
+    assert float(fresh["w"]) == 2.0

@@ -101,6 +101,21 @@ def ema_update(ema_params, params, step, decay: float = 0.9999):
     return jax.tree.map(lambda e, p: e * d + p * (1.0 - d), ema_params, params)
 
 
+def swa_update(avg_params, params, n_avg):
+    """Stochastic weight averaging: equal-weight running mean over the
+    snapshots seen so far — avg_{n+1} = avg_n + (p - avg_n) / (n + 1).
+
+    The reference wires Lightning's StochasticWeightAveraging(swa_epoch_start
+    =0.75) into the PARSeq trainer (/root/reference/src/parseq/train.py:69);
+    this is the pytree equivalent the STR trainer applies over the tail
+    fraction of training. n_avg is how many snapshots are ALREADY in avg
+    (0 → the update returns `params` itself); it may be a python int or a
+    traced scalar (pass a scalar array under jit so the count does not bake
+    into the executable and force a retrace per step)."""
+    w = 1.0 / (n_avg + 1.0)
+    return jax.tree.map(lambda a, p: a + (p - a) * w, avg_params, params)
+
+
 def make_train_step(
     loss_fn: Callable[[Any, Dict[str, Any], jax.Array], Tuple[jax.Array, Dict]],
     optimizer: optax.GradientTransformation,
