@@ -26,6 +26,33 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 2.0
+N_WINDOWS = 2  # independent timing windows; the reported value is their max
+
+
+def _timed_windows(sample_sum, rng, batch_size: int, n_iters: int = 5) -> float:
+    """Best of N_WINDOWS independent n_iters-iteration windows.
+
+    Within a window the sample_sum calls dispatch asynchronously and chain
+    on-device; the single float(acc) at the END of the window forces a scalar
+    host round-trip, so the timed region cannot close before all n_iters
+    computations completed. A window can therefore never read faster than the
+    chip actually ran, but it CAN read slower when the tunnel hiccups or
+    prior draining work pollutes it (ROOFLINE.md traps #1 and #3 — observed
+    spreads of ~3-8% window-to-window). max() measures the chip; min() would
+    measure the tunnel's worst minute. The JSON output carries
+    {"windows": N, "agg": "max"} so cross-round comparisons can account for
+    the round-4 switch from a single window."""
+    best = 0.0
+    for _window in range(N_WINDOWS):
+        t0 = time.perf_counter()
+        acc = jnp.zeros(())
+        for _ in range(n_iters):
+            rng, sub = jax.random.split(rng)
+            acc = acc + sample_sum(sub)
+        float(acc)
+        dt = time.perf_counter() - t0
+        best = max(best, batch_size * n_iters / dt)
+    return best
 
 
 def _zeros_params(module, *example_inputs):
@@ -383,35 +410,44 @@ def _main():
     # warmup / compile
     float(sample_sum(rng))
 
-    # Two independent 5-iteration windows, report the better one: every
-    # iteration ends in a forced scalar host round-trip so a window can never
-    # read faster than the chip actually ran, but it CAN read slower when the
-    # tunnel hiccups or prior draining work pollutes it (ROOFLINE.md traps #1
-    # and #3 — observed spreads of ~3-8% window-to-window). max() measures
-    # the chip, min() would measure the tunnel's worst minute.
-    n_iters = 5
-    samples_per_sec = 0.0
-    for _window in range(2):
-        t0 = time.perf_counter()
-        acc = jnp.zeros(())
-        for i in range(n_iters):
-            rng, sub = jax.random.split(rng)
-            acc = acc + sample_sum(sub)
-        float(acc)
-        dt = time.perf_counter() - t0
-        samples_per_sec = max(samples_per_sec, batch_size * n_iters / dt)
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(samples_per_sec, 4),
-                "unit": "samples/s",
-                "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 4),
-                "scope": scope,
-                "batch": batch_size,
-            }
-        )
-    )
+    samples_per_sec = _timed_windows(sample_sum, rng, batch_size)
+    out = {
+        "metric": metric,
+        "value": round(samples_per_sec, 4),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 4),
+        "scope": scope,
+        "batch": batch_size,
+        # methodology tag: best of N_WINDOWS independent windows
+        # (window-to-window spread through the tunnel is 3-8%, so
+        # max-of-2 reads ~3-8% above round ≤3's single-window numbers)
+        "windows": N_WINDOWS,
+        "agg": "max",
+    }
+    if mode == "":
+        # every default round also records the HONEST end-to-end scope (the
+        # full test.py flow: conditioner + 10-iter init-noise search +
+        # sampling + fp32 VAE decode) so the headline number can never drift
+        # from what `python test.py` actually delivers (round-3 verdict #2)
+        del sample, sample_sum  # release the default pipeline's buffers
+        tp = build_test_parity(batch_size)
+
+        @jax.jit
+        def tp_sum(r):
+            img, = (tp(r),)
+            return jnp.sum(img)
+
+        float(tp_sum(rng))  # compile + warmup
+        tp_sps = _timed_windows(tp_sum, rng, batch_size)
+        out["test_parity"] = {
+            "value": round(tp_sps, 4),
+            "vs_baseline": round(tp_sps / BASELINE_SAMPLES_PER_SEC, 4),
+            "scope": (
+                "full test.py predict pipeline: conditioner + 10-iter "
+                "init-noise search + 50-step CFG Euler-EDM + fp32 VAE decode"
+            ),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
