@@ -255,3 +255,63 @@ def test_unet_remat_grads():
     a = jnp.concatenate([v.reshape(-1) for v in jax.tree.leaves(g0)])
     b = jnp.concatenate([v.reshape(-1) for v in jax.tree.leaves(g1)])
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_ctx_kv_hoist_exact():
+    """Hoisted cross-attn K/V projections (precompute_context_kv) must be
+    bit-exact with the in-layer to_k/to_v path — output AND captured maps."""
+    from udifftext_tpu.models.unet import UNetModel, precompute_context_kv
+
+    m = UNetModel(
+        in_channels=4, out_channels=4, model_channels=32, num_res_blocks=1,
+        attention_resolutions=(2, 1), channel_mult=(1, 2), num_head_channels=8,
+        t_context_dim=16,
+    )
+    k = jax.random.PRNGKey(3)
+    x = jax.random.normal(k, (2, 16, 16, 4))
+    t = jnp.full((2,), 3.0)
+    tc = jax.random.normal(jax.random.fold_in(k, 1), (2, 12, 16))
+    params = m.init(jax.random.PRNGKey(0), x, t, tc)
+
+    out0, maps0 = m.apply(params, x, t, tc, capture_attn=True)
+    kv = precompute_context_kv(m, params, tc)
+    assert kv and all(v for v in kv.values())
+    out1, maps1 = m.apply(params, x, t, tc, capture_attn=True, ctx_kv=kv)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))
+    assert sorted(maps0) == sorted(maps1)
+    for name in maps0:
+        np.testing.assert_array_equal(np.asarray(maps0[name]), np.asarray(maps1[name]))
+
+
+def test_sample_hoisted_kv_matches_unhoisted(engine_and_params):
+    """engine.sample with the hoisted-KV denoise path equals the same flow
+    with hoisting disabled (the hoist is a pure loop-invariant motion)."""
+    eng, params = engine_and_params
+    batch = _batch(1)
+    rng = jax.random.PRNGKey(7)
+    img0, _ = jax.jit(
+        lambda p, b, r: eng.sample(p, b, r, num_steps=3, noise_iters=1)
+    )(params, batch, rng)
+
+    import dataclasses as _dc
+
+    class _NoHoist(type(eng)):
+        def _hoisted_kv(self, params, cond):
+            return None
+
+    eng_nh = _NoHoist(**{f.name: getattr(eng, f.name) for f in _dc.fields(eng)})
+    img1, _ = jax.jit(
+        lambda p, b, r: eng_nh.sample(p, b, r, num_steps=3, noise_iters=1)
+    )(params, batch, rng)
+    np.testing.assert_allclose(np.asarray(img0), np.asarray(img1), atol=1e-6)
+
+
+def test_conditioner_uc_reuses_concat(engine_and_params):
+    """get_unconditional_conditioning builds uc from c (zeroed label, shared
+    concat) — no duplicate VAE encode of the masked image."""
+    eng, params = engine_and_params
+    batch = _batch(2)
+    c, uc = eng.conditionings(params, batch, rng=jax.random.PRNGKey(0))
+    assert uc["concat"] is c["concat"]
+    assert float(jnp.max(jnp.abs(uc["t_crossattn"]))) == 0.0
+    assert float(jnp.max(jnp.abs(c["t_crossattn"]))) > 0.0

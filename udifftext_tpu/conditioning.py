@@ -115,6 +115,15 @@ class Conditioner:
         tensor twice only when batch_uc is provided — we share it).
         """
         c = self(label_params, vae_params, batch, rng=rng, train=False)
+        if batch_uc is None and force_uc_zero_label:
+            # uc differs from c only in the zeroed label embedding — reuse the
+            # (expensive, 512² fp32) VAE encode and mask rescale outright
+            # instead of re-tracing them and trusting XLA CSE to dedupe
+            uc = {
+                "t_crossattn": jnp.zeros_like(c["t_crossattn"]),
+                "concat": c["concat"],
+            }
+            return c, uc
         src = batch if batch_uc is None else batch_uc
         uc = self(
             label_params, vae_params, src, rng=rng, train=False,

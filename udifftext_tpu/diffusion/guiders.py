@@ -25,6 +25,16 @@ class VanillaCFG:
     def prepare_inputs(
         self, x: Array, s: Array, c: Dict[str, Any], uc: Dict[str, Any]
     ) -> Tuple[Array, Array, Dict[str, Any]]:
+        return (
+            jnp.concatenate([x, x], axis=0),
+            jnp.concatenate([s, s], axis=0),
+            self.prepare_cond(c, uc),
+        )
+
+    def prepare_cond(self, c: Dict[str, Any], uc: Dict[str, Any]) -> Dict[str, Any]:
+        """The (uc, c) batch-doubled cond dict alone — loop-invariant across a
+        sampling scan, so samplers hoist this (and the UNet's cross-attn K/V
+        projections of it) out of the per-step body."""
         c_out = {}
         for k in c:
             if k in _CFG_KEYS:
@@ -42,7 +52,7 @@ class VanillaCFG:
                         "asserts equality here rather than guiding silently)"
                     )
                 c_out[k] = c[k]
-        return jnp.concatenate([x, x], axis=0), jnp.concatenate([s, s], axis=0), c_out
+        return c_out
 
     def __call__(self, x: Array, sigma: Array) -> Array:
         x_u, x_c = jnp.split(x, 2, axis=0)

@@ -73,10 +73,12 @@ class DiffusionEngine:
 
     # -- network wrapper (OpenAIWrapper parity) ------------------------------
 
-    def network(self, params, capture_attn: bool = False, method=None):
+    def network(self, params, capture_attn: bool = False, method=None, ctx_kv=None):
         """OpenAIWrapper closure (wrappers.py:23-35). `method` selects an
         alternative UNet entry point (e.g. UNetModel.forward_cached for
-        encoder propagation); such methods take no capture_attn argument."""
+        encoder propagation); such methods take no capture_attn argument.
+        `ctx_kv` carries hoisted cross-attn K/V projections when the cond is
+        constant across calls (models/unet.precompute_context_kv)."""
         def net(x: Array, c_noise: Array, cond: Dict[str, Any]):
             xin = x
             if "concat" in cond:
@@ -87,9 +89,18 @@ class DiffusionEngine:
             return self.unet.apply(
                 params["unet"], xin, c_noise,
                 cond.get("t_crossattn"), cond.get("v_crossattn"), cond.get("vector"),
-                method=method, **kwargs,
+                method=method, ctx_kv=ctx_kv, **kwargs,
             )
         return net
+
+    def _hoisted_kv(self, params, cond: Dict[str, Any]):
+        """Cross-attn K/V of a cond dict that stays constant across a scan."""
+        from .models.unet import precompute_context_kv
+
+        return precompute_context_kv(
+            self.unet, params["unet"],
+            cond.get("t_crossattn"), cond.get("v_crossattn"),
+        )
 
     # -- training loss (reference diffusion.py:138-149 + loss.py) -----------
 
@@ -134,17 +145,26 @@ class DiffusionEngine:
 
     def make_denoise_fn(self, params, c, uc, cfg_scale: float, capture_attn: bool = False):
         guider = VanillaCFG(cfg_scale)
-        network = self.network(params, capture_attn=capture_attn)
+        # hoisted loop invariants: the CFG-doubled cond dict and the UNet's
+        # cross-attn K/V projections of it are constant across sampling steps
+        # — computed once here instead of 50× inside the scan (the reference
+        # recomputes both per step, sampling.py:264-322 + attention.py:152)
+        c_in = guider.prepare_cond(c, uc)
+        network = self.network(
+            params, capture_attn=capture_attn, ctx_kv=self._hoisted_kv(params, c_in)
+        )
 
         if not capture_attn:
             def denoise(x, sigma):
-                x_in, s_in, c_in = guider.prepare_inputs(x, sigma, c, uc)
+                x_in = jnp.concatenate([x, x], axis=0)
+                s_in = jnp.concatenate([sigma, sigma], axis=0)
                 d, _ = self.denoiser(network, x_in, s_in, c_in)
                 return guider(d, sigma)
             return denoise
 
         def denoise_aux(x, sigma):
-            x_in, s_in, c_in = guider.prepare_inputs(x, sigma, c, uc)
+            x_in = jnp.concatenate([x, x], axis=0)
+            s_in = jnp.concatenate([sigma, sigma], axis=0)
             d, aux = self.denoiser(network, x_in, s_in, c_in)
             # loss consumers read the conditional half (sampling.py:341)
             aux_c = {k: v[v.shape[0] // 2 :] for k, v in aux.items()}
@@ -161,21 +181,25 @@ class DiffusionEngine:
         from .models.unet import UNetModel
 
         guider = VanillaCFG(cfg_scale)
-        net_full = self.network(params, method=UNetModel.forward_cached)
+        c_in = guider.prepare_cond(c, uc)
+        ctx_kv = self._hoisted_kv(params, c_in)
+        net_full = self.network(params, method=UNetModel.forward_cached, ctx_kv=ctx_kv)
 
         def denoise_full(x, sigma):
-            x_in, s_in, c_in = guider.prepare_inputs(x, sigma, c, uc)
+            x_in = jnp.concatenate([x, x], axis=0)
+            s_in = jnp.concatenate([sigma, sigma], axis=0)
             d, hs = self.denoiser(net_full, x_in, s_in, c_in)
             return guider(d, sigma), hs
 
         def denoise_reuse(x, sigma, hs):
-            x_in, s_in, c_in = guider.prepare_inputs(x, sigma, c, uc)
+            x_in = jnp.concatenate([x, x], axis=0)
+            s_in = jnp.concatenate([sigma, sigma], axis=0)
 
             def net(_xin, c_noise, cond):
                 out = self.unet.apply(
                     params["unet"], hs, c_noise,
                     cond.get("t_crossattn"), cond.get("v_crossattn"), cond.get("vector"),
-                    method=UNetModel.decode_cached,
+                    method=UNetModel.decode_cached, ctx_kv=ctx_kv,
                 )
                 return out, None
 
@@ -237,11 +261,17 @@ class DiffusionEngine:
         return best
 
     def _aae_update(
-        self, params, c, batch, x, sigma, alpha, iter_enabled, thres, max_iter=20
+        self, params, c, batch, x, sigma, alpha, iter_enabled, thres, max_iter=20,
+        ctx_kv=None,
     ):
         """Attend-and-excite (sampling.py:233-252): gradient-descend x on the
-        min-local loss through the raw (unguided) network."""
-        network = self.network(params, capture_attn=True)
+        min-local loss through the raw (unguided) network. c is constant
+        across the refinement while_loop AND the outer sampling scan, so the
+        caller precomputes its K/V projections once (`ctx_kv`)."""
+        network = self.network(
+            params, capture_attn=True,
+            ctx_kv=self._hoisted_kv(params, c) if ctx_kv is None else ctx_kv,
+        )
         kernel = jnp.asarray(self.loss_cfg.kernel)
         mask, seg_mask = batch["mask"], batch["seg_mask"]
 
@@ -357,6 +387,9 @@ class DiffusionEngine:
         bsz = x.shape[0]
         denoise = self.make_denoise_fn(params, c, uc, cfg_scale, capture_attn=True)
         kernel = jnp.asarray(self.loss_cfg.kernel)
+        # AAE's raw-network kv, hoisted out of the sampling scan (c is
+        # constant; computing it inside `step` would re-project per step)
+        aae_kv = self._hoisted_kv(params, c) if aae_enabled else None
 
         scales = np.linspace(1.0, 0.0, num_sigmas)
         alphas = 20.0 * np.sqrt(scales)[:-1]
@@ -379,7 +412,9 @@ class DiffusionEngine:
             sigma = jnp.full((bsz,), sigmas[i], x.dtype)
             next_sigma = jnp.full((bsz,), sigmas[i + 1], x.dtype)
             if aae_enabled:
-                x = self._aae_update(params, c, batch, x, sigma, alpha, ien, th)
+                x = self._aae_update(
+                    params, c, batch, x, sigma, alpha, ien, th, ctx_kv=aae_kv
+                )
             denoised, aux = denoise(x, sigma)
             if detailed:
                 is_mid = i == mid

@@ -66,20 +66,33 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: Array, context: Array, capture_map: bool = False
+        self,
+        x: Array,
+        context: Array,
+        capture_map: bool = False,
+        kv: Optional[Tuple[Array, Array]] = None,
     ) -> Tuple[Array, Optional[Array]]:
+        """`kv`, when given, is the pre-projected (k, v) pair shaped
+        (B, L, heads, dim_head) — the to_k/to_v projections of a context that
+        is CONSTANT across a sampling scan are loop-invariant, so callers may
+        hoist them out of the scan (models/unet.precompute_context_kv) and
+        skip the per-step projections here. Bit-exact with the inline path
+        (same dtype casts and matmul precision)."""
         inner = self.heads * self.dim_head
         b, n, _ = x.shape
-        l = context.shape[1]
         scale = self.dim_head**-0.5
 
         q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
-
+        if kv is None:
+            l = context.shape[1]
+            k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+            v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+            k = k.reshape(b, l, self.heads, self.dim_head)
+            v = v.reshape(b, l, self.heads, self.dim_head)
+        else:
+            k, v = kv
+            l = k.shape[1]
         q = q.reshape(b, n, self.heads, self.dim_head)
-        k = k.reshape(b, l, self.heads, self.dim_head)
-        v = v.reshape(b, l, self.heads, self.dim_head)
 
         sim = jnp.einsum("bnhd,blhd->bhnl", q, k, precision=matmul_precision(self.dtype)) * scale
         sim = sim.astype(jnp.float32)
@@ -193,7 +206,9 @@ class BasicTransformerBlock(nn.Module):
         t_context: Optional[Array] = None,
         v_context: Optional[Array] = None,
         capture_map: bool = False,
+        ctx_kv: Optional[Dict[str, Tuple[Array, Array]]] = None,
     ) -> Tuple[Array, Optional[Array]]:
+        ctx_kv = ctx_kv or {}
         x = (
             SelfAttention(
                 self.heads, self.dim_head, dtype=self.dtype, attn_impl=self.attn_impl, name="attn1"
@@ -204,12 +219,14 @@ class BasicTransformerBlock(nn.Module):
         if self.t_context_dim is not None and self.t_context_dim > 0:
             h, t_map = CrossAttention(
                 self.heads, self.dim_head, dtype=self.dtype, name="t_attn"
-            )(LayerNormF32(dtype=self.dtype, name="t_norm")(x), t_context, capture_map)
+            )(LayerNormF32(dtype=self.dtype, name="t_norm")(x), t_context, capture_map,
+              kv=ctx_kv.get("t"))
             x = h + x
         if self.v_context_dim is not None and self.v_context_dim > 0:
             h, _ = CrossAttention(
                 self.heads, self.dim_head, dtype=self.dtype, name="v_attn"
-            )(LayerNormF32(dtype=self.dtype, name="v_norm")(x), v_context, False)
+            )(LayerNormF32(dtype=self.dtype, name="v_norm")(x), v_context, False,
+              kv=ctx_kv.get("v"))
             x = h + x
         x = GEGLUFeedForward(
             dtype=self.dtype,
@@ -240,6 +257,7 @@ class SpatialTransformer(nn.Module):
         t_context: Optional[Array] = None,
         v_context: Optional[Array] = None,
         capture_map: bool = False,
+        ctx_kv: Optional[List[Dict[str, Tuple[Array, Array]]]] = None,
     ) -> Tuple[Array, List[Optional[Array]]]:
         b, h, w, c = x.shape
         inner = self.heads * self.dim_head
@@ -257,7 +275,8 @@ class SpatialTransformer(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 name=f"blocks_{d}",
-            )(x, t_context, v_context, capture_map)
+            )(x, t_context, v_context, capture_map,
+              ctx_kv[d] if ctx_kv is not None else None)
             maps.append(m)
         x = Dense(c, zero_init=True, dtype=self.dtype, name="proj_out")(x)
         x = x.reshape(b, h, w, c)

@@ -31,6 +31,7 @@ from .layers import (
     Dense,
     GroupNorm32,
     avg_pool_2x,
+    matmul_precision,
     silu,
     timestep_embedding,
     upsample_nearest_2x,
@@ -291,12 +292,14 @@ class UNetModel(nn.Module):
         v_context,
         capture_attn: bool,
         attn_maps: Dict[str, Any],
+        ctx_kv: Optional[Dict[str, Any]] = None,
     ) -> Array:
         for j, (layer, spec) in enumerate(zip(layers, specs)):
             if spec.kind == "res":
                 h = layer(h, emb)
             elif spec.kind == "attn":
-                h, maps = layer(h, t_context, v_context, capture_attn)
+                layer_kv = ctx_kv.get(f"{prefix}.{j}") if ctx_kv else None
+                h, maps = layer(h, t_context, v_context, capture_attn, layer_kv)
                 if capture_attn:
                     for d, m in enumerate(maps):
                         if m is None:
@@ -319,7 +322,8 @@ class UNetModel(nn.Module):
             v_context = v_context.astype(self.dtype)
         return emb, t_context, v_context
 
-    def _run_encoder(self, x, emb, t_context, v_context, capture_attn, attn_maps):
+    def _run_encoder(self, x, emb, t_context, v_context, capture_attn, attn_maps,
+                     ctx_kv=None):
         """Input blocks → list of skip activations (hs), hs[-1] feeding the
         middle block."""
         x = x.astype(self.dtype)
@@ -334,7 +338,7 @@ class UNetModel(nn.Module):
         for i, (layers, specs) in enumerate(zip(self.in_layers, self.plan.input_blocks)):
             h = self._apply_block(
                 layers, specs, f"input_blocks.{i}", h, emb, t_context, v_context,
-                capture_attn, attn_maps,
+                capture_attn, attn_maps, ctx_kv,
             )
             if self.ctrl_channels > 0 and i == 0:
                 for conv in self.ctrl_convs[:-1]:
@@ -343,19 +347,20 @@ class UNetModel(nn.Module):
             hs.append(h)
         return hs
 
-    def _run_decoder(self, hs, emb, t_context, v_context, capture_attn, attn_maps):
+    def _run_decoder(self, hs, emb, t_context, v_context, capture_attn, attn_maps,
+                     ctx_kv=None):
         """Middle block + output blocks consuming the skip stack."""
         plan = self.plan
         hs = list(hs)
         h = self._apply_block(
             self.mid_layers, plan.middle_block, "middle_block", hs[-1], emb,
-            t_context, v_context, capture_attn, attn_maps,
+            t_context, v_context, capture_attn, attn_maps, ctx_kv,
         )
         for i, (layers, specs) in enumerate(zip(self.out_layers_, plan.output_blocks)):
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             h = self._apply_block(
                 layers, specs, f"output_blocks.{i}", h, emb, t_context, v_context,
-                capture_attn, attn_maps,
+                capture_attn, attn_maps, ctx_kv,
             )
         h = self.out_norm(h)
         h = silu(h)
@@ -370,12 +375,17 @@ class UNetModel(nn.Module):
         v_context: Optional[Array] = None,
         y: Optional[Array] = None,
         capture_attn: bool = False,
+        ctx_kv: Optional[Dict[str, Any]] = None,
     ) -> Tuple[Array, Dict[str, Array]]:
-        """x: (B, H, W, in_channels[+ctrl]); timesteps: (B,) → ((B,H,W,out), attn maps)."""
+        """x: (B, H, W, in_channels[+ctrl]); timesteps: (B,) → ((B,H,W,out), attn maps).
+
+        ctx_kv: optional hoisted cross-attn K/V projections of the (constant)
+        contexts, from `precompute_context_kv` — samplers compute them once
+        instead of 16 layers × 2 projections per scan step."""
         emb, t_context, v_context = self._prepare(timesteps, t_context, v_context, y)
         attn_maps: Dict[str, Array] = {}
-        hs = self._run_encoder(x, emb, t_context, v_context, capture_attn, attn_maps)
-        h = self._run_decoder(hs, emb, t_context, v_context, capture_attn, attn_maps)
+        hs = self._run_encoder(x, emb, t_context, v_context, capture_attn, attn_maps, ctx_kv)
+        h = self._run_decoder(hs, emb, t_context, v_context, capture_attn, attn_maps, ctx_kv)
         return h, attn_maps
 
     def forward_cached(
@@ -385,6 +395,7 @@ class UNetModel(nn.Module):
         t_context: Optional[Array] = None,
         v_context: Optional[Array] = None,
         y: Optional[Array] = None,
+        ctx_kv: Optional[Dict[str, Any]] = None,
     ) -> Tuple[Array, Tuple[Array, ...]]:
         """Full forward that also returns the encoder skip stack, for
         encoder-propagation sampling ("Faster Diffusion", arXiv 2312.09608:
@@ -394,8 +405,8 @@ class UNetModel(nn.Module):
         assert self.ctrl_channels == 0, "encoder propagation: ctrl path unsupported"
         emb, t_context, v_context = self._prepare(timesteps, t_context, v_context, y)
         attn_maps: Dict[str, Array] = {}
-        hs = self._run_encoder(x, emb, t_context, v_context, False, attn_maps)
-        h = self._run_decoder(hs, emb, t_context, v_context, False, attn_maps)
+        hs = self._run_encoder(x, emb, t_context, v_context, False, attn_maps, ctx_kv)
+        h = self._run_decoder(hs, emb, t_context, v_context, False, attn_maps, ctx_kv)
         return h, tuple(hs)
 
     def decode_cached(
@@ -405,9 +416,76 @@ class UNetModel(nn.Module):
         t_context: Optional[Array] = None,
         v_context: Optional[Array] = None,
         y: Optional[Array] = None,
+        ctx_kv: Optional[Dict[str, Any]] = None,
     ) -> Array:
         """Middle + output blocks only, consuming a `forward_cached` skip
         stack with the CURRENT timestep embedding (the approximation of
         encoder propagation — input blocks are skipped entirely)."""
         emb, t_context, v_context = self._prepare(timesteps, t_context, v_context, y)
-        return self._run_decoder(hs, emb, t_context, v_context, False, {})
+        return self._run_decoder(hs, emb, t_context, v_context, False, {}, ctx_kv)
+
+
+def precompute_context_kv(
+    unet: UNetModel,
+    unet_params,
+    t_context: Optional[Array] = None,
+    v_context: Optional[Array] = None,
+) -> Optional[Dict[str, Any]]:
+    """Hoist the cross-attn K/V projections of CONSTANT contexts out of a
+    sampling scan.
+
+    During sampling the conditioning contexts are fixed per sample while x
+    changes per step, yet the reference recomputes every layer's to_k/to_v
+    projection of that constant context on all 50 steps (sgm CrossAttention,
+    attention.py:152-153) — and XLA's loop-invariant code motion does not
+    hoist matmuls out of `lax.scan` bodies. This computes all of them once;
+    pass the result as `ctx_kv` to UNetModel.__call__ /
+    forward_cached / decode_cached.
+
+    Bit-exact with the in-layer path: same dtype promotion (fp32 kernels cast
+    to the model dtype, contexts already cast by `_prepare`) and the same
+    matmul precision as models.layers.Dense.
+    """
+    if t_context is None and v_context is None:
+        return None
+    p = unet_params["params"] if "params" in unet_params else unet_params
+    dtype = unet.dtype
+    prec = matmul_precision(dtype)
+    tc = t_context.astype(dtype) if t_context is not None else None
+    vc = v_context.astype(dtype) if v_context is not None else None
+
+    def project(attn_p, spec: LayerSpec, ctx: Array) -> Tuple[Array, Array]:
+        k_kern = attn_p["to_k"]["Dense_0"]["kernel"].astype(dtype)
+        v_kern = attn_p["to_v"]["Dense_0"]["kernel"].astype(dtype)
+        b, l = ctx.shape[:2]
+        k = jnp.matmul(ctx, k_kern, precision=prec).reshape(b, l, spec.heads, spec.dim_head)
+        v = jnp.matmul(ctx, v_kern, precision=prec).reshape(b, l, spec.heads, spec.dim_head)
+        return k, v
+
+    out: Dict[str, Any] = {}
+
+    def handle(spec: LayerSpec, param_name: str, key: str) -> None:
+        if spec.kind != "attn":
+            return
+        lp = p[param_name]
+        per_depth = []
+        for d in range(unet.transformer_depth):
+            blk = lp[f"blocks_{d}"]
+            entry = {}
+            if tc is not None and "t_attn" in blk:
+                entry["t"] = project(blk["t_attn"], spec, tc)
+            if vc is not None and "v_attn" in blk:
+                entry["v"] = project(blk["v_attn"], spec, vc)
+            per_depth.append(entry)
+        out[key] = per_depth
+
+    plan = unet.plan
+    for i, block in enumerate(plan.input_blocks):
+        for j, spec in enumerate(block):
+            handle(spec, f"input_blocks_{i}_{j}", f"input_blocks.{i}.{j}")
+    for j, spec in enumerate(plan.middle_block):
+        handle(spec, f"middle_block_{j}", f"middle_block.{j}")
+    for i, block in enumerate(plan.output_blocks):
+        for j, spec in enumerate(block):
+            handle(spec, f"output_blocks_{i}_{j}", f"output_blocks.{i}.{j}")
+    return out
