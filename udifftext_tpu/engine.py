@@ -322,6 +322,8 @@ class DiffusionEngine:
         latent_hw: Optional[Tuple[int, int]] = None,
         return_latents: bool = False,
         encprop_interval: int = 0,
+        ckpt_id: Optional[str] = None,
+        encprop_pregated: bool = False,
     ):
         """Full text-inpainting sampling (test.py predict() semantics).
 
@@ -331,9 +333,18 @@ class DiffusionEngine:
         encprop_interval > 1 opts into APPROXIMATE encoder-propagation
         sampling for the main scan (full UNet every k-th step only — arXiv
         2312.09608); ignored when aae_enabled/detailed need per-step
-        attention maps. NOT the reference sampler; validate quality before
-        production use.
+        attention maps. NOT the reference sampler — the request is gated on
+        recorded quality evidence (utils/encprop_gate.py): refused when
+        `ckpt_id` is known but has no passing report, warned-once when the
+        checkpoint identity is unknown. Callers that already gated (e.g.
+        JittedPredictor at construction) pass encprop_pregated=True.
         """
+        if encprop_interval > 1 and not encprop_pregated and not (
+            aae_enabled or detailed
+        ):
+            from .utils.encprop_gate import gate_encprop
+
+            gate_encprop(ckpt_id, int(encprop_interval))
         b = batch["image"].shape[0] if "image" in batch else batch["masked"].shape[0]
         if latent_hw is None:
             h, w = batch["masked"].shape[1:3]

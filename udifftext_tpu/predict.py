@@ -80,6 +80,7 @@ class JittedPredictor:
                 aae_enabled=self.aae_enabled,
                 detailed=self.detailed,
                 encprop_interval=self.encprop_interval,
+                encprop_pregated=True,  # gated once at predictor construction
             )
 
         if mesh is not None:
