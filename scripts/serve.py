@@ -9,7 +9,8 @@ which micro-batches concurrent requests into one fixed-shape TPU dispatch
 Endpoints
 ---------
 POST /v1/inpaint   {"image": <b64 PNG/JPEG>, "mask": <b64 PNG>, "text": "WORD"}
-                   -> {"image": <b64 PNG>, "batch_key": int, "row": int}
+                   -> {"image": <b64 PNG>, "batch_key": int, "row": int,
+                       "batch_size": int}   (the replay coordinates)
 GET  /healthz      -> 200 "ok" once the pipeline has compiled
 GET  /v1/stats     -> batcher counters (requests, batches, mean batch size)
 
@@ -111,6 +112,7 @@ def make_handler(service: InpaintService, ready: threading.Event):
                     "image": _png_b64(result["image"]),
                     "batch_key": result["batch_key"],
                     "row": result["row"],
+                    "batch_size": result["batch_size"],
                 },
             )
 
@@ -154,6 +156,7 @@ def build_service(args) -> InpaintService:
         noise_iters=int(cfgs.get("noise_iters", 10)),
         encprop_interval=encprop,
         ckpt_id=ckpt_id,
+        noise_search_batched=args.noise_search_batched,
     )
     base_key = jax.random.PRNGKey(args.seed)
 
@@ -167,6 +170,7 @@ def build_service(args) -> InpaintService:
         max_delay_ms=args.max_delay_ms,
         size=int(cfgs.get("H", 512)),
         seq_len=int(cfgs.get("seq_len", 12)),
+        batch_buckets=args.buckets,
     )
 
 
@@ -175,6 +179,17 @@ def main():
     p.add_argument("--config", default="./configs/demo.yaml")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--buckets", type=lambda s: [int(b) for b in s.split(",")],
+                   default=None,
+                   help="comma-separated batch buckets, largest == max-batch "
+                        "(e.g. '1,8'): pad each group only to the smallest "
+                        "bucket that fits it — one extra one-time compile per "
+                        "bucket, much lower latency for lone requests")
+    p.add_argument("--noise-search-batched", action="store_true",
+                   help="run the init-noise search with candidates stacked on "
+                        "the batch axis (exact; 2 UNet evals instead of "
+                        "2*noise_iters — latency win at small buckets, memory "
+                        "scales with noise_iters*bucket)")
     p.add_argument("--max-delay-ms", type=float, default=50.0)
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--scale", type=float, default=None)
@@ -185,20 +200,15 @@ def main():
     ready = threading.Event()
 
     def warmup():
-        # compile the pipeline before reporting healthy: one dummy request
-        # (the padded batch makes this the same executable real traffic uses)
-        dummy = InpaintRequest(
-            image=np.zeros((64, 64, 3), np.uint8),
-            mask=np.ones((64, 64), np.uint8),
-            text="warmup",
-        )
+        # compile every bucket's executable before reporting healthy — the
+        # same signatures real traffic uses
         try:
-            service.inpaint(dummy)
+            service.warmup()
         except Exception as e:  # noqa: BLE001 — keep /healthz honest, not silent
             print(f"FATAL: warmup compile failed, /healthz stays 503: {e}")
             raise
         ready.set()
-        print("pipeline compiled; serving traffic")
+        print(f"pipeline compiled for buckets {service.batch_buckets}; serving traffic")
 
     threading.Thread(target=warmup, daemon=True).start()
     serve(service, args.port, ready)

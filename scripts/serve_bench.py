@@ -39,7 +39,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_service(max_batch: int, steps: int, noise_iters: int, max_delay_ms: float):
+def build_service(max_batch: int, steps: int, noise_iters: int, max_delay_ms: float,
+                  buckets=None, noise_search_batched: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -59,7 +60,8 @@ def build_service(max_batch: int, steps: int, noise_iters: int, max_delay_ms: fl
     params["unet"] = cast_params_bf16(params["unet"])
 
     predictor = JittedPredictor(
-        bundle.engine, num_steps=steps, cfg_scale=5.0, noise_iters=noise_iters
+        bundle.engine, num_steps=steps, cfg_scale=5.0, noise_iters=noise_iters,
+        noise_search_batched=noise_search_batched,
     )
     base_key = jax.random.PRNGKey(0)
 
@@ -67,7 +69,8 @@ def build_service(max_batch: int, steps: int, noise_iters: int, max_delay_ms: fl
         images, _ = predictor(params, arr_batch, jax.random.fold_in(base_key, key))
         return np.asarray(images)
 
-    return InpaintService(run, max_batch=max_batch, max_delay_ms=max_delay_ms)
+    return InpaintService(run, max_batch=max_batch, max_delay_ms=max_delay_ms,
+                          batch_buckets=buckets)
 
 
 def _request():
@@ -90,19 +93,26 @@ def main():
     p.add_argument("--qps", type=float, default=0.5)
     p.add_argument("--latency-requests", type=int, default=8)
     p.add_argument("--max-delay-ms", type=float, default=50.0)
+    p.add_argument("--buckets", type=lambda s: [int(b) for b in s.split(",")],
+                   default=None,
+                   help="batch buckets (largest == max-batch), e.g. '1,8' — "
+                        "lone latency requests then run at bucket 1")
+    p.add_argument("--noise-search-batched", action="store_true",
+                   help="candidate-batched (exact) init-noise search")
     args = p.parse_args()
 
     from udifftext_tpu.utils.profiling import enable_persistent_cache
 
     enable_persistent_cache()
     service = build_service(
-        args.max_batch, args.steps, args.noise_iters, args.max_delay_ms
+        args.max_batch, args.steps, args.noise_iters, args.max_delay_ms,
+        buckets=args.buckets, noise_search_batched=args.noise_search_batched,
     )
     req = _request()
 
-    # warmup: compile the (max_batch, 512, 512, ...) executable once
+    # warmup: compile every bucket's executable once
     t0 = time.perf_counter()
-    service.inpaint(req)
+    service.warmup()
     compile_s = time.perf_counter() - t0
 
     # -- 1. saturated throughput --------------------------------------------
@@ -142,9 +152,12 @@ def main():
         "latency_p95_s": round(float(np.percentile(lat, 95)), 3),
         "latency_qps": args.qps,
         "latency_note": (
-            "single request padded to the static max_batch (group of 1) — "
-            "the interactive-caller number; includes host batch assembly"
+            f"single request padded to the smallest fitting bucket of "
+            f"{list(service.batch_buckets)} (group of 1) — the "
+            "interactive-caller number; includes host batch assembly"
         ),
+        "buckets": list(service.batch_buckets),
+        "noise_search_batched": bool(args.noise_search_batched),
         "compile_s": round(compile_s, 1),
         "batcher_stats": stats,
     }))

@@ -100,6 +100,34 @@ def test_sample_fast_path(engine_and_params):
     assert np.all(np.isfinite(np.asarray(img)))
 
 
+def test_init_noise_search_candidate_batched_exact(engine_and_params):
+    """candidate_batched=True stacks the search's candidates on the batch
+    axis (2 UNet evals instead of 2*noise_iters) — the rows are independent
+    through the whole UNet, so it must select the SAME candidate and return
+    bit-identical noise (the draws come from the same key split)."""
+    eng, params = engine_and_params
+    batch = _batch(2)
+    rng_cond, rng_noise = jax.random.split(jax.random.PRNGKey(5))
+    c, uc = eng.conditionings(params, batch, rng=rng_cond)
+    shape = (2, LAT, LAT, 4)
+    seq = eng.get_init_noise(params, c, uc, batch, rng_noise, shape, 5.0, 3)
+    bat = eng.get_init_noise(
+        params, c, uc, batch, rng_noise, shape, 5.0, 3, candidate_batched=True
+    )
+    assert np.array_equal(np.asarray(seq), np.asarray(bat))
+
+
+def test_sample_noise_search_batched(engine_and_params):
+    eng, params = engine_and_params
+    batch = _batch(1)
+    img, _ = eng.sample(
+        params, batch, jax.random.PRNGKey(3), num_steps=2, noise_iters=2,
+        noise_search_batched=True,
+    )
+    assert img.shape == (1, IMG, IMG, 3)
+    assert np.all(np.isfinite(np.asarray(img)))
+
+
 def test_sample_encprop(engine_and_params):
     """Opt-in encoder-propagation sampling through the full engine path:
     finite [0,1] output, and interval=2 actually takes the approximate branch

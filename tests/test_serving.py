@@ -215,6 +215,77 @@ def test_bad_request_does_not_poison_cobatched_group():
     assert res["row"] == 0 and np.all(res["image"] == 0)
 
 
+def _echo_predictor(size, batch_sizes_seen):
+    """Bucket-agnostic fake: returns output matching the presented batch."""
+
+    def predict(arr_batch, key):
+        b = arr_batch["image"].shape[0]
+        batch_sizes_seen.append(b)
+        out = np.zeros((b, size, size, 3), np.float32)
+        for i in range(b):
+            out[i] = i / 255.0
+        return out
+
+    return predict
+
+
+def _req(text="ok"):
+    return InpaintRequest(
+        image=np.zeros((8, 8, 3), np.uint8), mask=np.ones((8, 8)), text=text
+    )
+
+
+def test_inpaint_service_buckets_pad_to_smallest_fit():
+    """With batch_buckets, a group is padded only to the smallest bucket that
+    fits it (latency: a lone request no longer pays the max_batch dispatch),
+    and the response records the bucket for exact replay."""
+    sizes = []
+    svc = InpaintService(
+        _echo_predictor(16, sizes), max_batch=4, max_delay_ms=120.0, size=16,
+        batch_buckets=(1, 4),
+    )
+    lone = svc.inpaint(_req(), timeout=20)
+    futs = [svc.submit(_req()) for _ in range(3)]
+    grouped = [f.result(timeout=20) for f in futs]
+    svc.shutdown()
+    assert sizes == [1, 4]  # lone request at bucket 1, group of 3 padded to 4
+    assert lone["batch_size"] == 1 and lone["row"] == 0
+    assert all(r["batch_size"] == 4 for r in grouped)
+    assert [r["row"] for r in grouped] == [0, 1, 2]
+
+
+def test_inpaint_service_bucket_validation():
+    with pytest.raises(ValueError, match="must equal max_batch"):
+        InpaintService(_echo_predictor(16, []), max_batch=4, size=16,
+                       batch_buckets=(1, 2))
+    with pytest.raises(ValueError, match="positive"):
+        InpaintService(_echo_predictor(16, []), max_batch=4, size=16,
+                       batch_buckets=(0, 4))
+
+
+def test_inpaint_service_warmup_compiles_each_bucket():
+    sizes = []
+    svc = InpaintService(
+        _echo_predictor(16, sizes), max_batch=4, max_delay_ms=1.0, size=16,
+        batch_buckets=(1, 2, 4),
+    )
+    svc.warmup()
+    svc.shutdown()
+    assert sizes == [1, 2, 4]
+
+
+def test_inpaint_service_default_single_bucket_unchanged():
+    """No batch_buckets -> the strict one-compile behavior: every group padded
+    to max_batch exactly as before."""
+    sizes = []
+    svc = InpaintService(
+        _echo_predictor(16, sizes), max_batch=4, max_delay_ms=1.0, size=16
+    )
+    res = svc.inpaint(_req(), timeout=20)
+    svc.shutdown()
+    assert sizes == [4] and res["batch_size"] == 4
+
+
 # -- HTTP front-end -----------------------------------------------------------
 
 

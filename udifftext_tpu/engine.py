@@ -218,17 +218,56 @@ class DiffusionEngine:
         shape: Tuple[int, ...],
         cfg_scale: float = 5.0,
         noise_iters: int = 10,
+        candidate_batched: bool = False,
     ) -> Array:
         """Init-noise search (sampling.py:264-322): `noise_iters` candidates
         each scored by the min-local attention loss after a 2-step rollout;
-        the best randn wins. Vectorized as a scan over candidates."""
+        the best randn wins. Vectorized as a scan over candidates.
+
+        candidate_batched=True runs the SAME search with all candidates
+        stacked on the batch axis: 2 sequential UNet evals at batch
+        `noise_iters*B` instead of `2*noise_iters` evals at batch B. The
+        candidates are independent rows through the whole UNet (GroupNorm/
+        attention/LayerNorm all normalize per sample), so the math is
+        identical up to float reassociation in XLA's reductions; scores can
+        differ at ~1e-6, which only matters for near-exact ties (both paths
+        keep the FIRST minimum). It trades serial depth for batch width —
+        a large latency win at small B (serving single requests), a wash at
+        saturated batch. Memory scales with noise_iters*B; keep the default
+        sequential path for big-batch offline eval."""
         if noise_iters <= 0:
             return jax.random.normal(rng, shape)
 
         sigmas = jnp.asarray(self.discretization(2, do_append_zero=True))
-        denoise = self.make_denoise_fn(params, c, uc, cfg_scale, capture_attn=True)
         kernel = jnp.asarray(self.loss_cfg.kernel)
         mask, seg_mask = batch["mask"], batch["seg_mask"]
+
+        if candidate_batched:
+            k, b = noise_iters, shape[0]
+            tile = lambda t: jnp.concatenate([t] * k, axis=0)  # noqa: E731
+            denoise = self.make_denoise_fn(
+                params, jax.tree.map(tile, c), jax.tree.map(tile, uc),
+                cfg_scale, capture_attn=True,
+            )
+            keys = jax.random.split(rng, k)
+            # same per-candidate draws as the sequential scan (same split)
+            randn_all = jax.vmap(lambda kk: jax.random.normal(kk, shape))(keys)
+            x = SP.init_latent(randn_all.reshape((k * b,) + shape[1:]), sigmas)
+            mask_t, seg_mask_t = tile(mask), tile(seg_mask)
+            loss = None
+            for i in range(2):
+                sigma = jnp.full((k * b,), sigmas[i], x.dtype)
+                next_sigma = jnp.full((k * b,), sigmas[i + 1], x.dtype)
+                denoised, aux = denoise(x, sigma)
+                loss = L.min_local_loss(
+                    aux, mask_t, seg_mask_t, kernel, self.loss_cfg.min_attn_size
+                )
+                d = SP.to_d(x, sigma, denoised)
+                x = x + append_dims(next_sigma - sigma, x.ndim) * d
+            scores = jnp.sum(loss.reshape(k, b), axis=1)
+            return randn_all[jnp.argmin(scores)]
+
+        denoise = self.make_denoise_fn(params, c, uc, cfg_scale, capture_attn=True)
 
         def score(randn):
             x = SP.init_latent(randn, sigmas)
@@ -324,8 +363,14 @@ class DiffusionEngine:
         encprop_interval: int = 0,
         ckpt_id: Optional[str] = None,
         encprop_pregated: bool = False,
+        noise_search_batched: bool = False,
     ):
         """Full text-inpainting sampling (test.py predict() semantics).
+
+        noise_search_batched=True evaluates the init-noise search's
+        candidates stacked on the batch axis (exact same math, 2 UNet evals
+        instead of 2*noise_iters — see get_init_noise); big latency win at
+        small batch, memory scales with noise_iters*B.
 
         Returns decoded images in [0, 1] (B, H, W, 3); with detailed=True also
         the middle-step attention maps.
@@ -355,7 +400,8 @@ class DiffusionEngine:
         c, uc = self.conditionings(params, batch, rng=rng_cond)
 
         x0 = self.get_init_noise(
-            params, c, uc, batch, rng_noise, shape, cfg_scale, noise_iters
+            params, c, uc, batch, rng_noise, shape, cfg_scale, noise_iters,
+            candidate_batched=noise_search_batched,
         )
         sigmas = jnp.asarray(self.discretization(num_steps, do_append_zero=True))
         x = SP.init_latent(x0, sigmas)

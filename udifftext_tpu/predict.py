@@ -39,11 +39,16 @@ class JittedPredictor:
         encprop_interval: int = 0,
         ckpt_id: Optional[str] = None,
         min_quality_psnr: Optional[float] = None,
+        noise_search_batched: bool = False,
     ):
         self.engine = engine
         self.num_steps = int(num_steps)
         self.cfg_scale = float(cfg_scale)
         self.noise_iters = int(noise_iters)
+        # exact candidate-batched init-noise search (engine.get_init_noise):
+        # 2 UNet evals at batch noise_iters*B instead of 2*noise_iters at B —
+        # the latency-oriented choice for small serving batches
+        self.noise_search_batched = bool(noise_search_batched)
         self.aae_enabled = bool(aae_enabled)
         self.detailed = bool(detailed)
         self.encprop_interval = int(encprop_interval)
@@ -81,6 +86,7 @@ class JittedPredictor:
                 detailed=self.detailed,
                 encprop_interval=self.encprop_interval,
                 encprop_pregated=True,  # gated once at predictor construction
+                noise_search_batched=self.noise_search_batched,
             )
 
         if mesh is not None:

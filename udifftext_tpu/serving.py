@@ -19,15 +19,24 @@ Components
   to ``run_batch``. One dispatcher thread == one device stream: TPU dispatch
   is serialized by design, matching the single-chip execution model.
 - ``InpaintService`` — stacks inpainting requests into the engine's batch
-  dict (demo.py build_batch semantics), pads the batch to exactly
-  ``max_batch`` rows by replicating the last row (static shapes -> exactly
-  one XLA compile), runs the predictor, and slices the real rows back out.
+  dict (demo.py build_batch semantics), pads the batch to a static batch
+  size by replicating the last row (static shapes -> a bounded set of XLA
+  compiles), runs the predictor, and slices the real rows back out.
+
+Batch-size buckets: padding every group to one ``max_batch`` signature keeps
+compiles to exactly one, but makes a lone interactive request pay the full
+max_batch dispatch cost. ``batch_buckets`` (e.g. ``(1, 8)``) compiles one
+executable per bucket and pads each group only up to the smallest bucket
+that fits it — latency-optimal for sparse traffic, throughput-identical
+when saturated. Buckets are a latency/compile-count trade: each bucket is
+one more one-time XLA compile at startup (warm them via ``warmup()``).
 
 Determinism: every response carries ``batch_key`` (the integer fold-in used
-for the batch's PRNG key) and ``row`` (the request's position). Because the
-sampler draws the whole batch's noise from one key, a request's output is a
-function of (params, batch contents, batch_key, row); replaying those
-reproduces the image bit-exactly.
+for the batch's PRNG key), ``row`` (the request's position), and
+``batch_size`` (the padded bucket the group ran at). Because the sampler
+draws the whole batch's noise from one key, a request's output is a
+function of (params, batch contents, batch_key, row, batch_size); replaying
+those reproduces the image bit-exactly.
 """
 
 from __future__ import annotations
@@ -200,11 +209,13 @@ class InpaintRequest:
 class InpaintService:
     """Batch assembly + static-shape padding around a predictor callable.
 
-    ``predictor(arr_batch: dict, key: int) -> np.ndarray (max_batch, H, W, 3)``
+    ``predictor(arr_batch: dict, key: int) -> np.ndarray (bucket, H, W, 3)``
     is injected; in production it wraps ``JittedPredictor.__call__`` with the
     loaded params and a PRNG key derived from ``key`` (see scripts/serve.py).
-    Every presented batch has exactly ``max_batch`` rows — short groups are
-    padded by replicating the last real row — so the predictor traces once.
+    Every presented batch is padded (by replicating the last real row) to the
+    smallest ``batch_buckets`` entry that fits the group, so the predictor
+    traces once per bucket. Default buckets = ``(max_batch,)`` — the strict
+    one-compile configuration.
     """
 
     def __init__(
@@ -214,11 +225,24 @@ class InpaintService:
         max_delay_ms: float = 50.0,
         size: int = 512,
         seq_len: int = 12,
+        batch_buckets: Optional[Sequence[int]] = None,
     ):
         self.predictor = predictor
         self.size = int(size)
         self.seq_len = int(seq_len)
         self.max_batch = int(max_batch)
+        if batch_buckets is None:
+            self.batch_buckets = (self.max_batch,)
+        else:
+            buckets = tuple(sorted({int(b) for b in batch_buckets}))
+            if not buckets or buckets[0] < 1:
+                raise ValueError(f"batch_buckets must be positive, got {batch_buckets}")
+            if buckets[-1] != self.max_batch:
+                raise ValueError(
+                    f"largest bucket ({buckets[-1]}) must equal max_batch "
+                    f"({self.max_batch}) so a full group always fits"
+                )
+            self.batch_buckets = buckets
         self._key_counter = 0
         self._key_lock = threading.Lock()
         self.batcher = MicroBatcher(
@@ -258,10 +282,11 @@ class InpaintService:
 
     def _run_group(self, rows: List[Dict[str, np.ndarray]]) -> List[Dict[str, Any]]:
         n_real = len(rows)
-        # pad to the static batch size by replicating the last row — XLA sees
-        # exactly one (max_batch, ...) signature for the life of the server
+        # pad to the smallest bucket that fits, replicating the last row — XLA
+        # sees one static (bucket, ...) signature per configured bucket
+        bucket = next(b for b in self.batch_buckets if b >= n_real)
         rows = list(rows)
-        while len(rows) < self.max_batch:
+        while len(rows) < bucket:
             rows.append(rows[-1])
         arr_batch = {
             k: np.stack([row[k] for row in rows]) for k in rows[0]
@@ -270,19 +295,36 @@ class InpaintService:
             key = self._key_counter
             self._key_counter += 1
         images = np.asarray(self.predictor(arr_batch, key))
-        if images.shape[0] != self.max_batch:
+        if images.shape[0] != bucket:
             raise RuntimeError(
-                f"predictor returned batch {images.shape[0]}, expected "
-                f"{self.max_batch}"
+                f"predictor returned batch {images.shape[0]}, expected {bucket}"
             )
         return [
             {
                 "image": (np.clip(images[i], 0.0, 1.0) * 255).astype(np.uint8),
                 "batch_key": key,
                 "row": i,
+                "batch_size": bucket,
             }
             for i in range(n_real)
         ]
+
+    def warmup(self) -> None:
+        """Compile every bucket's executable before serving traffic.
+
+        Runs one dummy group per configured bucket straight through
+        ``_run_group`` (bypassing the batcher, so bucket selection is
+        deterministic rather than timing-dependent). Call before flipping
+        the health check to ready."""
+        dummy = self._build_row(
+            InpaintRequest(
+                image=np.zeros((self.size, self.size, 3), np.uint8),
+                mask=np.ones((self.size, self.size), np.uint8),
+                text="w",
+            )
+        )
+        for b in self.batch_buckets:
+            self._run_group([dummy] * b)
 
     # -- public API -----------------------------------------------------------
 
