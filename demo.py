@@ -55,7 +55,11 @@ def demo_predict(cfgs, bundle, params, batch, steps, scale, seed, aae=False, det
     from udifftext_tpu.predict import JittedPredictor
 
     encprop = int(cfgs.get("encprop_interval", 0))
-    key = (id(bundle.engine), int(steps), float(scale), bool(aae), bool(detailed), encprop)
+    # exact candidate-batched init-noise search (engine.get_init_noise) —
+    # the right default for the demo's interactive single-image batches
+    ns_batched = bool(cfgs.get("noise_search_batched", True))
+    key = (id(bundle.engine), int(steps), float(scale), bool(aae), bool(detailed),
+           encprop, ns_batched)
     predictor = _PREDICTORS.get(key)
     if predictor is None:
         ckpt_id = None
@@ -72,6 +76,7 @@ def demo_predict(cfgs, bundle, params, batch, steps, scale, seed, aae=False, det
             detailed=detailed,
             encprop_interval=encprop,
             ckpt_id=ckpt_id,
+            noise_search_batched=ns_batched,
         )
     samples, aux = predictor(params, batch, jax.random.PRNGKey(seed))
     out = (np.asarray(samples)[0] * 255).astype(np.uint8)

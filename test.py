@@ -65,6 +65,9 @@ def make_predictor(cfgs, bundle, sampler) -> JittedPredictor:
         # no recorded quality report (scripts/encprop_quality.py writes one)
         encprop_interval=int(cfgs.get("encprop_interval", 0)),
         ckpt_id=_ckpt_id_if_encprop(cfgs),
+        # exact candidate-batched init-noise search; default off for batch
+        # eval — memory scales with noise_iters*batch (see engine.sample)
+        noise_search_batched=bool(cfgs.get("noise_search_batched", False)),
     )
 
 
