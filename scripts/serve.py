@@ -18,6 +18,7 @@ Usage
 -----
   python scripts/serve.py [--config ./configs/demo.yaml] [--port 8000]
       [--max-batch 8] [--max-delay-ms 50] [--steps N] [--scale S] [--seed 0]
+      [--buckets 1,8] [--noise-search-batched] [--dp N]
 
 The model graph, sampler settings, and checkpoint paths come from the demo
 run config; --steps/--scale override it. First request latency includes the
@@ -149,6 +150,20 @@ def build_service(args) -> InpaintService:
         from udifftext_tpu.utils.encprop_gate import ckpt_file_id
 
         ckpt_id = ckpt_file_id(cfgs.get("load_ckpt_path"))
+    mesh = None
+    if args.dp > 1:
+        # data-parallel serving: one jitted program sharded over `dp` chips
+        # via a `data` mesh axis — the dispatcher thread is unchanged, GSPMD
+        # splits each padded group's batch dim across the mesh
+        from udifftext_tpu.parallel.mesh import make_mesh
+
+        devs = jax.devices()
+        if len(devs) < args.dp:
+            raise SystemExit(
+                f"--dp {args.dp} requested but only {len(devs)} device(s) "
+                f"visible: {devs}"
+            )
+        mesh = make_mesh(n_data=args.dp, devices=devs[: args.dp])
     predictor = JittedPredictor(
         bundle.engine,
         num_steps=int(steps),
@@ -157,6 +172,7 @@ def build_service(args) -> InpaintService:
         encprop_interval=encprop,
         ckpt_id=ckpt_id,
         noise_search_batched=args.noise_search_batched,
+        mesh=mesh,
     )
     base_key = jax.random.PRNGKey(args.seed)
 
@@ -171,6 +187,7 @@ def build_service(args) -> InpaintService:
         size=int(cfgs.get("H", 512)),
         seq_len=int(cfgs.get("seq_len", 12)),
         batch_buckets=args.buckets,
+        dp=args.dp,
     )
 
 
@@ -190,6 +207,10 @@ def main():
                         "the batch axis (exact; 2 UNet evals instead of "
                         "2*noise_iters — latency win at small buckets, memory "
                         "scales with noise_iters*bucket)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel serving degree: shard every dispatched "
+                        "batch over this many chips (a `data` mesh axis; "
+                        "every bucket must be divisible by it)")
     p.add_argument("--max-delay-ms", type=float, default=50.0)
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--scale", type=float, default=None)

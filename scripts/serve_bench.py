@@ -40,7 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_service(max_batch: int, steps: int, noise_iters: int, max_delay_ms: float,
-                  buckets=None, noise_search_batched: bool = False):
+                  buckets=None, noise_search_batched: bool = False, dp: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -59,9 +59,14 @@ def build_service(max_batch: int, steps: int, noise_iters: int, max_delay_ms: fl
     )
     params["unet"] = cast_params_bf16(params["unet"])
 
+    mesh = None
+    if dp > 1:
+        from udifftext_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=dp, devices=jax.devices()[:dp])
     predictor = JittedPredictor(
         bundle.engine, num_steps=steps, cfg_scale=5.0, noise_iters=noise_iters,
-        noise_search_batched=noise_search_batched,
+        noise_search_batched=noise_search_batched, mesh=mesh,
     )
     base_key = jax.random.PRNGKey(0)
 
@@ -70,7 +75,7 @@ def build_service(max_batch: int, steps: int, noise_iters: int, max_delay_ms: fl
         return np.asarray(images)
 
     return InpaintService(run, max_batch=max_batch, max_delay_ms=max_delay_ms,
-                          batch_buckets=buckets)
+                          batch_buckets=buckets, dp=dp)
 
 
 def _request():
@@ -92,6 +97,9 @@ def main():
                    help="full groups for the saturated measurement")
     p.add_argument("--qps", type=float, default=0.5)
     p.add_argument("--latency-requests", type=int, default=8)
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel serving degree (shard each dispatched "
+                        "batch over this many chips; buckets must divide)")
     p.add_argument("--max-delay-ms", type=float, default=50.0)
     p.add_argument("--buckets", type=lambda s: [int(b) for b in s.split(",")],
                    default=None,
@@ -107,6 +115,7 @@ def main():
     service = build_service(
         args.max_batch, args.steps, args.noise_iters, args.max_delay_ms,
         buckets=args.buckets, noise_search_batched=args.noise_search_batched,
+        dp=args.dp,
     )
     req = _request()
 

@@ -368,3 +368,82 @@ def test_swa_update_running_mean():
     # n_avg=0 returns the incoming params regardless of the carry
     fresh = swa_update({"w": jnp.asarray(123.0)}, {"w": jnp.asarray(2.0)}, 0)
     assert float(fresh["w"]) == 2.0
+
+
+def test_data_parallel_serving_matches_single_device():
+    """Multi-chip serving (scripts/serve.py --dp): an InpaintService backed by
+    a JittedPredictor over an 8-device `data` mesh returns the same images as
+    the single-device service — GSPMD shards each dispatched group's batch dim
+    across the mesh without changing the math (up to float reassociation)."""
+    from udifftext_tpu.diffusion.loss import FullLossConfig
+    from udifftext_tpu.engine import DiffusionEngine
+    from udifftext_tpu.models.label_encoder import LabelEncoder
+    from udifftext_tpu.models.unet import UNetModel
+    from udifftext_tpu.models.vae import AutoencoderKL, DDConfig
+    from udifftext_tpu.predict import JittedPredictor
+    from udifftext_tpu.serving import InpaintRequest, InpaintService
+
+    IMG, SEQ = 32, 12
+    unet = UNetModel(
+        in_channels=9, out_channels=4, model_channels=32, num_res_blocks=1,
+        attention_resolutions=(2, 1), channel_mult=(1, 2), num_head_channels=8,
+        t_context_dim=32, attn_impl="xla",
+    )
+    vae = AutoencoderKL(
+        DDConfig(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                 attn_resolutions=(), in_channels=3, resolution=IMG, z_channels=4),
+        embed_dim=4, attn_impl="xla",
+    )
+    le = LabelEncoder(max_len=SEQ, emb_dim=32, n_heads=4, n_trans_layers=1,
+                      dim_feedforward=64)
+    engine = DiffusionEngine(
+        unet=unet, vae=vae, label_encoder=le,
+        loss_cfg=FullLossConfig(min_attn_size=8),
+        mask_multiplier=0.5, latent_factor=2,
+    )
+    k = jax.random.PRNGKey(0)
+    params = {
+        "unet": unet.init(k, jnp.zeros((1, IMG // 2, IMG // 2, 9)),
+                          jnp.zeros((1,)), jnp.zeros((1, SEQ, 32))),
+        "vae": vae.init(k, jnp.zeros((1, IMG, IMG, 3))),
+        "label_encoder": le.init(k, jnp.zeros((1, SEQ), jnp.int32)),
+    }
+
+    rng = np.random.RandomState(7)
+    reqs = [
+        InpaintRequest(
+            image=rng.randint(0, 255, (IMG, IMG, 3), np.uint8),
+            mask=(np.arange(IMG)[:, None] + np.arange(IMG)[None, :] > i).astype(np.uint8),
+            text=t,
+        )
+        for i, t in enumerate(["ab", "cd", "xyz"])
+    ]
+
+    def build_service(mesh, dp):
+        pred = JittedPredictor(engine, num_steps=2, noise_iters=1, mesh=mesh)
+        base_key = jax.random.PRNGKey(11)
+
+        def run(arr_batch, key):
+            import contextlib
+            ctx = mesh if mesh is not None else contextlib.nullcontext()
+            with ctx:
+                imgs, _ = pred(params, arr_batch, jax.random.fold_in(base_key, key))
+            return np.asarray(imgs)
+
+        return InpaintService(run, max_batch=8, max_delay_ms=1.0, size=IMG,
+                              seq_len=SEQ, dp=dp)
+
+    outs = {}
+    for name, mesh, dp in (
+        ("single", None, 1),
+        ("dp8", make_mesh(n_data=8, devices=_cpu_devices()[:8]), 8),
+    ):
+        svc = build_service(mesh, dp)
+        futs = [svc.submit(r) for r in reqs]
+        res = [f.result(timeout=600) for f in futs]
+        svc.shutdown()
+        assert [r["batch_size"] for r in res] == [8, 8, 8]
+        outs[name] = np.stack([r["image"].astype(np.int32) for r in res])
+
+    # uint8 images: reassociation can flip a pixel by ±1 across the quantize
+    assert np.max(np.abs(outs["single"] - outs["dp8"])) <= 1

@@ -263,6 +263,23 @@ def test_inpaint_service_bucket_validation():
                        batch_buckets=(0, 4))
 
 
+def test_inpaint_service_dp_divisibility():
+    """dp (data-parallel serving degree) must divide every bucket so GSPMD
+    sharding never sees an indivisible batch — validated at construction,
+    not as an opaque error on the first unlucky group."""
+    with pytest.raises(ValueError, match="divisible by the data-parallel"):
+        InpaintService(_echo_predictor(16, []), max_batch=4, size=16,
+                       batch_buckets=(1, 4), dp=2)
+    with pytest.raises(ValueError, match="dp must be >= 1"):
+        InpaintService(_echo_predictor(16, []), max_batch=4, size=16, dp=0)
+    sizes = []
+    svc = InpaintService(_echo_predictor(16, sizes), max_batch=4, size=16,
+                         max_delay_ms=1.0, batch_buckets=(2, 4), dp=2)
+    res = svc.inpaint(_req(), timeout=20)
+    svc.shutdown()
+    assert sizes == [2] and res["batch_size"] == 2  # lone request pads to dp
+
+
 def test_inpaint_service_warmup_compiles_each_bucket():
     sizes = []
     svc = InpaintService(

@@ -22,7 +22,11 @@ from udifftext_tpu.data import get_dataloader
 from udifftext_tpu.parallel.mesh import make_mesh
 from udifftext_tpu.parallel.multihost import make_global_batch
 from udifftext_tpu.parallel.train import TrainState, make_optimizer, make_train_step
-from udifftext_tpu.utils.ckpt_orbax import latest_checkpoint, restore_checkpoint, save_checkpoint
+from udifftext_tpu.utils.ckpt_orbax import (
+    AsyncCheckpointWriter,
+    latest_checkpoint,
+    restore_checkpoint,
+)
 from udifftext_tpu.utils.logger import MetricsLogger
 from udifftext_tpu.utils.profiling import SimpleProfiler
 from util import init_model
@@ -120,6 +124,9 @@ def train(cfgs):
     rng = jax.random.PRNGKey(seed)
     global_step = int(state.step)
     t0 = time.time()
+    # async writer: epoch-boundary saves snapshot to host and write to disk
+    # on a background thread instead of stalling the step loop
+    ckpt_writer = AsyncCheckpointWriter(ckpt_dir, keep=int(cfgs.get("keep_ckpts", 3)))
     with mesh:
         for epoch in range(max_epochs):
             micro_accum = []
@@ -172,8 +179,9 @@ def train(cfgs):
                     )
             if (epoch + 1) % int(cfgs.get("save_ckpt_freq", 1)) == 0:
                 with profiler.profile("checkpoint"):
-                    path = save_checkpoint(ckpt_dir, state, global_step)
-                print(f"saved {path}")
+                    path = ckpt_writer.save(state, global_step)
+                print(f"saving {path} (async)")
+    ckpt_writer.close()  # final write durable before exiting
     profiler.print_summary()  # Lightning `profiler: simple` parity
 
 

@@ -31,6 +31,13 @@ that fits it — latency-optimal for sparse traffic, throughput-identical
 when saturated. Buckets are a latency/compile-count trade: each bucket is
 one more one-time XLA compile at startup (warm them via ``warmup()``).
 
+Multi-chip serving: the predictor callable may wrap a ``JittedPredictor``
+built over a ``jax.sharding.Mesh`` with a ``data`` axis — GSPMD shards every
+presented batch across the chips and the micro-batcher is unchanged (one
+dispatcher thread still owns the whole mesh; a sharded dispatch IS one
+program launch). ``dp`` declares that degree so bucket divisibility is
+validated at construction (scripts/serve.py --dp).
+
 Determinism: every response carries ``batch_key`` (the integer fold-in used
 for the batch's PRNG key), ``row`` (the request's position), and
 ``batch_size`` (the padded bucket the group ran at). Because the sampler
@@ -226,11 +233,20 @@ class InpaintService:
         size: int = 512,
         seq_len: int = 12,
         batch_buckets: Optional[Sequence[int]] = None,
+        dp: int = 1,
     ):
         self.predictor = predictor
         self.size = int(size)
         self.seq_len = int(seq_len)
         self.max_batch = int(max_batch)
+        # dp = the predictor's data-parallel degree (JittedPredictor built
+        # over a `data` mesh axis shards the batch dim over dp chips; GSPMD
+        # requires every presented batch to divide evenly). The service
+        # enforces it at construction so a mis-sized bucket fails at startup,
+        # not as an opaque sharding error on the first unlucky group.
+        self.dp = int(dp)
+        if self.dp < 1:
+            raise ValueError(f"dp must be >= 1, got {dp}")
         if batch_buckets is None:
             self.batch_buckets = (self.max_batch,)
         else:
@@ -243,6 +259,13 @@ class InpaintService:
                     f"({self.max_batch}) so a full group always fits"
                 )
             self.batch_buckets = buckets
+        bad = [b for b in self.batch_buckets if b % self.dp != 0]
+        if bad:
+            raise ValueError(
+                f"every batch bucket must be divisible by the data-parallel "
+                f"degree dp={self.dp}, got buckets {self.batch_buckets} "
+                f"(offending: {bad})"
+            )
         self._key_counter = 0
         self._key_lock = threading.Lock()
         self.batcher = MicroBatcher(
