@@ -430,23 +430,30 @@ def _main():
         # sampling + fp32 VAE decode) so the headline number can never drift
         # from what `python test.py` actually delivers (round-3 verdict #2)
         del sample, sample_sum  # release the default pipeline's buffers
-        tp = build_test_parity(batch_size)
+        # the default scope is already measured — never lose it to a failure
+        # in this SECOND pipeline (its compile is the longest of the run and
+        # the tunnel's outage modes land exactly there); record the error in
+        # the same JSON line instead
+        try:
+            tp = build_test_parity(batch_size)
 
-        @jax.jit
-        def tp_sum(r):
-            img, = (tp(r),)
-            return jnp.sum(img)
+            @jax.jit
+            def tp_sum(r):
+                img, = (tp(r),)
+                return jnp.sum(img)
 
-        float(tp_sum(rng))  # compile + warmup
-        tp_sps = _timed_windows(tp_sum, rng, batch_size)
-        out["test_parity"] = {
-            "value": round(tp_sps, 4),
-            "vs_baseline": round(tp_sps / BASELINE_SAMPLES_PER_SEC, 4),
-            "scope": (
-                "full test.py predict pipeline: conditioner + 10-iter "
-                "init-noise search + 50-step CFG Euler-EDM + fp32 VAE decode"
-            ),
-        }
+            float(tp_sum(rng))  # compile + warmup
+            tp_sps = _timed_windows(tp_sum, rng, batch_size)
+            out["test_parity"] = {
+                "value": round(tp_sps, 4),
+                "vs_baseline": round(tp_sps / BASELINE_SAMPLES_PER_SEC, 4),
+                "scope": (
+                    "full test.py predict pipeline: conditioner + 10-iter "
+                    "init-noise search + 50-step CFG Euler-EDM + fp32 VAE decode"
+                ),
+            }
+        except Exception as e:  # noqa: BLE001 — keep the measured headline
+            out["test_parity"] = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps(out))
 
 

@@ -190,7 +190,7 @@ def main():
     print()
     print(f"{'bucket':32s} {'count':>5s} {'measured':>9s} {'floor':>8s}")
     for name, count, ms, flo in rows:
-        print(f"transformer {name:20s} {count:5d} {ms:8.2f}x {flo:7.2f}x")
+        print(f"transformer {name:20s} {count:5d} {ms:8.2f} {flo:8.2f}")
     print(f"{'sum(transformer layers)':32s} {'':5s} {total_layers_ms:8.1f} {floor_layers_ms:7.1f}")
     print(f"{'ResBlocks+glue (step - layers)':32s} {'22+':5s} {res_ms:8.1f} {res_floor:7.1f}")
     print(f"{'FULL STEP':32s} {'':5s} {t_step:8.1f} {floor_layers_ms + res_floor:7.1f}")

@@ -192,3 +192,15 @@ def test_str_augment():
     # deterministic under seed
     out2 = STRAugment(n_ops=3, magnitude=0.5, seed=0)(img)
     np.testing.assert_array_equal(out, out2)
+
+
+def test_explicit_missing_font_path_raises(tmp_path):
+    """An explicit font_path that does not exist must raise, not silently
+    substitute DejaVu — a typo would otherwise change the rendered glyph
+    distribution of the whole pretrain run (review round 4)."""
+    import udifftext_tpu.data.datasets as D
+
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        D.resolve_font_path(str(tmp_path / "brand.tff"))
+    # null still resolves to the bundled/DejaVu fallback
+    assert D.resolve_font_path(None)

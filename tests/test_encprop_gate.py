@@ -97,3 +97,52 @@ def test_quality_script_writes_gateable_report(tmp_path):
         rep = json.load(f)
     assert rep["intervals"]["2"]["psnr"] == 55.0
     G.gate_encprop("testkey", 2)
+
+
+def test_gate_refuses_settings_mismatch():
+    """A report measured at different sampler settings is not evidence —
+    encprop quality is strongly steps-dependent (review round 4)."""
+    G.write_report("cfg1", {"steps": 4, "scale": 5.0,
+                            "intervals": {"2": {"psnr": 45.0}}})
+    with pytest.raises(RuntimeError, match="different sampler settings"):
+        G.gate_encprop("cfg1", 2, settings={"steps": 50, "scale": 5.0})
+    # matching settings pass; reports predating the fields warn but pass
+    G.gate_encprop("cfg1", 2, settings={"steps": 4, "scale": 5.0})
+    G.write_report("cfg2", {"intervals": {"2": {"psnr": 45.0}}})
+    G.gate_encprop("cfg2", 2, settings={"steps": 50, "scale": 5.0})
+
+
+def test_write_report_merges_matching_settings():
+    """Measuring --intervals 2 then --intervals 3 under the same settings
+    accumulates; different settings overwrite wholesale (mixed-settings
+    intervals must not coexist)."""
+    base = {"steps": 50, "scale": 5.0, "size": 512}
+    G.write_report("m1", {**base, "intervals": {"2": {"psnr": 40.0}}})
+    G.write_report("m1", {**base, "intervals": {"3": {"psnr": 36.0}}})
+    rep = G.load_report("m1")
+    assert set(rep["intervals"]) == {"2", "3"}
+    G.write_report("m1", {"steps": 4, "scale": 5.0, "size": 512,
+                          "intervals": {"2": {"psnr": 48.0}}})
+    rep = G.load_report("m1")
+    assert set(rep["intervals"]) == {"2"} and rep["steps"] == 4
+
+
+def test_ckpt_dir_id_distinguishes_same_layout(tmp_path):
+    """Two orbax-style checkpoint dirs with IDENTICAL file layout and sizes
+    but different weight bytes must hash differently — a size-only manifest
+    collided and let a stale report admit unmeasured weights."""
+    for name, fill in (("ck_a", b"\x01"), ("ck_b", b"\x02")):
+        d = tmp_path / name / "array_store"
+        d.mkdir(parents=True)
+        (d / "chunk_0").write_bytes(fill * 4096)
+        (tmp_path / name / "manifest.json").write_text('{"v": 1}')
+    id_a = G.ckpt_file_id(str(tmp_path / "ck_a"))
+    id_b = G.ckpt_file_id(str(tmp_path / "ck_b"))
+    assert id_a and id_b and id_a != id_b
+    # and large files sample head+tail: a tail-only change is caught
+    big = tmp_path / "ck_a" / "array_store" / "big"
+    big.write_bytes(b"\x03" * (1 << 18))
+    id_1 = G.ckpt_file_id(str(tmp_path / "ck_a"))
+    data = bytearray(b"\x03" * (1 << 18)); data[-1] = 0x04
+    big.write_bytes(bytes(data))
+    assert G.ckpt_file_id(str(tmp_path / "ck_a")) != id_1

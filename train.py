@@ -125,9 +125,13 @@ def train(cfgs):
     global_step = int(state.step)
     t0 = time.time()
     # async writer: epoch-boundary saves snapshot to host and write to disk
-    # on a background thread instead of stalling the step loop
-    ckpt_writer = AsyncCheckpointWriter(ckpt_dir, keep=int(cfgs.get("keep_ckpts", 3)))
-    with mesh:
+    # on a background thread instead of stalling the step loop. Context
+    # manager so a crash mid-epoch still flushes the in-flight write —
+    # otherwise the last save could die as an orbax tmp dir and resume
+    # would fall back a full extra epoch.
+    with AsyncCheckpointWriter(
+        ckpt_dir, keep=int(cfgs.get("keep_ckpts", 3))
+    ) as ckpt_writer, mesh:
         for epoch in range(max_epochs):
             micro_accum = []
             for batch in dataloader:
@@ -181,7 +185,6 @@ def train(cfgs):
                 with profiler.profile("checkpoint"):
                     path = ckpt_writer.save(state, global_step)
                 print(f"saving {path} (async)")
-    ckpt_writer.close()  # final write durable before exiting
     profiler.print_summary()  # Lightning `profiler: simple` parity
 
 

@@ -64,12 +64,20 @@ def region_draw_text(
 
 
 def resolve_font_path(font_path: Optional[str] = None) -> Optional[str]:
-    """Resolve a usable TTF path: the explicit `font_path` if it exists, else
-    the bundled-arial location (the reference ships dataset/utils/arial.ttf;
-    we do not bundle a binary font), else matplotlib's DejaVu Sans. Returns
-    None only when nothing is found."""
-    candidates = [font_path] if font_path else []
-    candidates.append(ospj(os.path.dirname(__file__), "assets", "arial.ttf"))
+    """Resolve a usable TTF path: the explicit `font_path` if it exists
+    (a missing explicit path RAISES — silently substituting another font
+    would change the rendered glyph distribution behind the user's back),
+    else the bundled-arial location (the reference ships
+    dataset/utils/arial.ttf; we do not bundle a binary font), else
+    matplotlib's DejaVu Sans. Returns None only when nothing is found."""
+    if font_path:
+        if not os.path.exists(str(font_path)):
+            raise FileNotFoundError(
+                f"font_path {font_path!r} does not exist — fix the config "
+                "or set font_path: null to use the bundled/DejaVu fallback"
+            )
+        return str(font_path)
+    candidates = [ospj(os.path.dirname(__file__), "assets", "arial.ttf")]
     for p in candidates:
         if p and os.path.exists(p):
             return p

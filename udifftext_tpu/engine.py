@@ -389,7 +389,8 @@ class DiffusionEngine:
         ):
             from .utils.encprop_gate import gate_encprop
 
-            gate_encprop(ckpt_id, int(encprop_interval))
+            gate_encprop(ckpt_id, int(encprop_interval),
+                         settings={"steps": int(num_steps), "scale": float(cfg_scale)})
         b = batch["image"].shape[0] if "image" in batch else batch["masked"].shape[0]
         if latent_hw is None:
             h, w = batch["masked"].shape[1:3]

@@ -63,6 +63,9 @@ class JittedPredictor:
                 ckpt_id,
                 self.encprop_interval,
                 DEFAULT_MIN_PSNR if min_quality_psnr is None else float(min_quality_psnr),
+                # quality evidence must match the sampler configuration it
+                # gates — encprop PSNR at 4 steps says nothing about 50
+                settings={"steps": self.num_steps, "scale": self.cfg_scale},
             )
         self.mesh = mesh
         self.n_compiles = 0

@@ -44,8 +44,16 @@ def report_path(ckpt_id: str) -> str:
 
 def ckpt_file_id(path: Optional[str]) -> Optional[str]:
     """Content hash of a checkpoint: sha256 of the file bytes, or — for an
-    orbax directory — of its (relpath, size) manifest. None when the path is
-    absent (fresh init), in which case the gate can only warn."""
+    orbax directory — of each file's (relpath, size, head+tail bytes). None
+    when the path is absent (fresh init), in which case the gate can only
+    warn.
+
+    The directory form samples the first and last 64 KiB of every file (not
+    just the size manifest): two checkpoints of the same model have identical
+    layouts and chunk sizes, so a size-only manifest would collide and let a
+    stale quality report admit encprop for weights that were never measured.
+    Sampled content differs between any two real weight sets while keeping
+    the hash O(files), not O(bytes)."""
     if not path or not os.path.exists(str(path)):
         return None
     path = str(path)
@@ -55,21 +63,43 @@ def ckpt_file_id(path: Optional[str]) -> Optional[str]:
             for chunk in iter(lambda: f.read(1 << 22), b""):
                 h.update(chunk)
         return h.hexdigest()[:16]
+    sample = 1 << 16
     for root, _dirs, files in sorted(os.walk(path)):
         for name in sorted(files):
             fp = os.path.join(root, name)
+            size = os.path.getsize(fp)
             h.update(os.path.relpath(fp, path).encode())
-            h.update(str(os.path.getsize(fp)).encode())
+            h.update(str(size).encode())
+            with open(fp, "rb") as f:
+                h.update(f.read(sample))
+                if size > 2 * sample:
+                    f.seek(-sample, os.SEEK_END)
+                    h.update(f.read(sample))
     return h.hexdigest()[:16]
 
 
 def write_report(ckpt_id: str, payload: Dict[str, Any]) -> str:
     """Persist a quality report; `payload["intervals"]` maps str(interval) ->
-    {"psnr": dB, ...}. Returns the path written."""
+    {"psnr": dB, ...}. Returns the path written.
+
+    Merges with an existing report for the same checkpoint when the sampler
+    settings (steps/scale/size) match — so measuring --intervals 2 then
+    --intervals 3 accumulates instead of dropping the first measurement.
+    Mismatched settings overwrite wholesale: intervals measured under
+    different settings must not coexist in one report (the gate compares
+    the report's settings against the predictor's)."""
     os.makedirs(report_dir(), exist_ok=True)
     out = report_path(ckpt_id)
+    merged = {"ckpt_id": ckpt_id, **payload}
+    prev = load_report(ckpt_id)
+    if prev is not None and all(
+        prev.get(k) == payload.get(k) for k in ("steps", "scale", "size")
+    ):
+        intervals = dict(prev.get("intervals") or {})
+        intervals.update(payload.get("intervals") or {})
+        merged["intervals"] = intervals
     with open(out, "w") as f:
-        json.dump({"ckpt_id": ckpt_id, **payload}, f, indent=1)
+        json.dump(merged, f, indent=1)
     return out
 
 
@@ -89,12 +119,19 @@ def _warn_once(key: str, msg: str) -> None:
 
 
 def gate_encprop(
-    ckpt_id: Optional[str], interval: int, min_psnr: float = DEFAULT_MIN_PSNR
+    ckpt_id: Optional[str],
+    interval: int,
+    min_psnr: float = DEFAULT_MIN_PSNR,
+    settings: Optional[Dict[str, Any]] = None,
 ) -> None:
     """Refuse (raise RuntimeError) or warn before approximate sampling runs.
 
     Call with the loaded checkpoint's ``ckpt_file_id`` and the configured
-    ``encprop_interval`` (> 1)."""
+    ``encprop_interval`` (> 1). ``settings`` ({"steps": N, "scale": S}) is
+    the predictor's sampler configuration: encprop quality is strongly
+    steps-dependent, so a report measured at different settings is not
+    evidence — mismatches refuse, reports predating the settings fields
+    warn once."""
     if interval <= 1:
         return
     if os.environ.get("UDIFFTEXT_ENCPROP_UNGATED"):
@@ -123,6 +160,32 @@ def gate_encprop(
             "to measure and record PSNR vs the exact sampler, or set "
             "UDIFFTEXT_ENCPROP_UNGATED=1 to bypass (benchmarks only)."
         )
+    if settings:
+        mismatched = {
+            k: (rep.get(k), v)
+            for k, v in settings.items()
+            if rep.get(k) is not None and rep.get(k) != v
+        }
+        if mismatched:
+            detail = ", ".join(
+                f"{k}: report={a!r} vs requested={b!r}" for k, (a, b) in mismatched.items()
+            )
+            raise RuntimeError(
+                f"encprop_interval={interval} refused: the quality report for "
+                f"{ckpt_id} was measured under different sampler settings "
+                f"({detail}) — its PSNR is not evidence for this "
+                "configuration. Re-run scripts/encprop_quality.py with the "
+                "production settings."
+            )
+        missing = [k for k in settings if rep.get(k) is None]
+        if missing:
+            _warn_once(
+                f"no-settings-{ckpt_id}",
+                f"encprop quality report for {ckpt_id} predates recorded "
+                f"sampler settings ({missing}) — cannot confirm it matches "
+                "this configuration. Re-run scripts/encprop_quality.py to "
+                "refresh it.",
+            )
     entry = (rep.get("intervals") or {}).get(str(interval))
     if entry is None:
         raise RuntimeError(
