@@ -12,7 +12,8 @@ POST /v1/inpaint   {"image": <b64 PNG/JPEG>, "mask": <b64 PNG>, "text": "WORD"}
                    -> {"image": <b64 PNG>, "batch_key": int, "row": int,
                        "batch_size": int}   (the replay coordinates)
 GET  /healthz      -> 200 "ok" once the pipeline has compiled
-GET  /v1/stats     -> batcher counters (requests, batches, mean batch size)
+GET  /v1/stats     -> batcher counters (requests, batches, mean batch size,
+                      queue-wait and model-call p50/p95 latency windows)
 
 Usage
 -----
@@ -121,7 +122,17 @@ def make_handler(service: InpaintService, ready: threading.Event):
 
 
 def serve(service: InpaintService, port: int, ready: threading.Event):
+    import signal
+
     httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(service, ready))
+
+    def _drain(signum, _frame):
+        # graceful termination (SIGTERM from an orchestrator): stop accepting,
+        # let in-flight groups finish via service.shutdown()'s queue drain
+        print(f"signal {signum}: draining and shutting down")
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _drain)
     print(f"serving on :{port} (POST /v1/inpaint, GET /healthz, GET /v1/stats)")
     try:
         httpd.serve_forever()

@@ -53,6 +53,23 @@ def test_full_batch_dispatches_before_deadline():
     assert [sorted(c) for c in calls] == [[0, 1, 2, 3]]
 
 
+def test_stats_latency_windows():
+    """stats() reports rolling queue-wait and model-call latency percentiles
+    — the two halves of end-to-end latency a capacity planner needs."""
+    def run(items):
+        time.sleep(0.05)
+        return list(items)
+
+    mb = MicroBatcher(run, max_batch=2, max_delay_ms=1.0)
+    futs = [mb.submit(i) for i in range(4)]
+    [f.result(timeout=10) for f in futs]
+    st = mb.stats()
+    mb.shutdown()
+    assert st["run"]["p50_s"] >= 0.05
+    assert st["run"]["p95_s"] >= st["run"]["p50_s"]
+    assert st["queue_wait"]["p95_s"] >= st["queue_wait"]["p50_s"] >= 0.0
+
+
 def test_deadline_flushes_partial_batch():
     sizes = []
 

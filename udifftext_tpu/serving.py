@@ -92,6 +92,11 @@ class MicroBatcher:
         self._n_batches = 0
         self._n_errors = 0
         self._batch_sizes: List[int] = []
+        # rolling observability windows (seconds): how long requests sat in
+        # the queue before dispatch, and how long each model call took —
+        # the two halves of end-to-end latency a capacity planner needs
+        self._queue_waits: List[float] = []
+        self._run_times: List[float] = []
         self._thread = threading.Thread(
             target=self._dispatch_loop, name="microbatcher", daemon=True
         )
@@ -104,7 +109,7 @@ class MicroBatcher:
         if self._closed:
             raise RuntimeError("MicroBatcher is shut down")
         fut: Future = Future()
-        self._queue.put((item, fut))
+        self._queue.put((item, fut, time.monotonic()))
         if self._closed and not self._thread.is_alive():
             # raced past the closed check after the dispatcher's final drain:
             # nobody will ever pick this up — fail it here instead of hanging
@@ -123,6 +128,15 @@ class MicroBatcher:
         self._thread.join(timeout=timeout)
         self._drain_cancelled()  # anything that raced in after the final drain
 
+    @staticmethod
+    def _pcts(xs: List[float]) -> Dict[str, float]:
+        if not xs:
+            return {"p50_s": 0.0, "p95_s": 0.0}
+        return {
+            "p50_s": round(float(np.percentile(xs, 50)), 4),
+            "p95_s": round(float(np.percentile(xs, 95)), 4),
+        }
+
     def stats(self) -> Dict[str, Any]:
         with self._stats_lock:
             sizes = list(self._batch_sizes[-100:])
@@ -133,6 +147,10 @@ class MicroBatcher:
                 "queue_depth": self._queue.qsize(),
                 "mean_batch_size": float(np.mean(sizes)) if sizes else 0.0,
                 "max_batch": self.max_batch,
+                # rolling windows: queue_wait = enqueue → dispatch (batching
+                # delay + head-of-line blocking), run = one model call
+                "queue_wait": self._pcts(self._queue_waits),
+                "run": self._pcts(self._run_times),
             }
 
     # -- dispatcher side ----------------------------------------------------
@@ -180,8 +198,10 @@ class MicroBatcher:
             if not group:
                 self._drain_cancelled()
                 return
-            items = [item for item, _ in group]
-            futures = [fut for _, fut in group]
+            items = [item for item, _, _ in group]
+            futures = [fut for _, fut, _ in group]
+            t_dispatch = time.monotonic()
+            waits = [t_dispatch - t_in for _, _, t_in in group]
             try:
                 results = self._run_batch(items)
                 if len(results) != len(items):
@@ -195,11 +215,15 @@ class MicroBatcher:
                 for fut in futures:
                     fut.set_exception(e)
                 continue
+            run_s = time.monotonic() - t_dispatch
             with self._stats_lock:
                 self._n_batches += 1
                 self._batch_sizes.append(len(items))
-                if len(self._batch_sizes) > 1000:
-                    del self._batch_sizes[:-100]
+                self._queue_waits.extend(waits)
+                self._run_times.append(run_s)
+                for buf in (self._batch_sizes, self._queue_waits, self._run_times):
+                    if len(buf) > 1000:
+                        del buf[:-100]
             for fut, res in zip(futures, results):
                 fut.set_result(res)
 
