@@ -104,6 +104,9 @@ def train(cfgs):
     loader = DataLoader(
         dataset, batch_size=int(cfgs.get("batch_size", 256)),
         max_label_len=mp.get("max_len", 12),
+        # reference pretrain.py:23-27 hands num_workers to torch DataLoader;
+        # >0 forks worker processes for the PIL glyph rendering
+        num_workers=int(cfgs.get("num_workers", 0) or 0),
     )
 
     # random seed like train.py (reference seed_everything semantics,

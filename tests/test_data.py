@@ -204,3 +204,73 @@ def test_explicit_missing_font_path_raises(tmp_path):
         D.resolve_font_path(str(tmp_path / "brand.tff"))
     # null still resolves to the bundled/DejaVu fallback
     assert D.resolve_font_path(None)
+
+
+# -- multi-process loading (reference num_workers semantics) ------------------
+
+
+class _IndexDataset:
+    """Pickling-free fixture: __getitem__ mixes the index with the ambient
+    np.random stream, standing in for cv2/PIL augmentation randomness."""
+
+    def __init__(self, n=16):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {
+            "image": np.full((4, 4, 1), i, np.float32),
+            "noise": np.random.rand(3).astype(np.float32),
+            "label": "ab",
+        }
+
+
+def test_multiworker_order_and_content():
+    """num_workers>0 yields the SAME batches in the SAME order as the
+    in-process path (shuffle off isolates ordering from augmentation RNG)."""
+    ds = _IndexDataset(16)
+    ref = [b["image"][:, 0, 0, 0] for b in DataLoader(
+        ds, batch_size=4, shuffle=False, seed=0)]
+    got = [b["image"][:, 0, 0, 0] for b in DataLoader(
+        ds, batch_size=4, shuffle=False, seed=0, num_workers=2)]
+    assert len(got) == len(ref) == 4
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, g)
+    # label_ids tokenization happens inside the worker's collate
+    b = next(iter(DataLoader(ds, batch_size=4, shuffle=False, num_workers=2)))
+    assert b["label_ids"].shape == (4, 12)
+
+
+def test_multiworker_determinism_across_worker_counts():
+    """Per-BATCH seeding makes the epoch stream bit-identical at any
+    num_workers >= 1 for a fixed loader seed — stronger than torch's
+    per-worker seeding, where changing num_workers changes augmentations."""
+    ds = _IndexDataset(12)
+
+    def epoch(workers):
+        dl = DataLoader(ds, batch_size=3, shuffle=True, seed=7,
+                        num_workers=workers)
+        return [(b["image"].copy(), b["noise"].copy()) for b in dl]
+
+    a, b3 = epoch(1), epoch(3)
+    assert len(a) == len(b3) == 4
+    for (img1, n1), (img3, n3) in zip(a, b3):
+        np.testing.assert_array_equal(img1, img3)
+        np.testing.assert_array_equal(n1, n3)  # augmentation stream too
+
+
+def test_multiworker_error_propagates():
+    """A worker exception fails the epoch loudly with the batch index and the
+    worker traceback — not a hang, not a silent skip."""
+
+    class Bad(_IndexDataset):
+        def __getitem__(self, i):
+            if i == 5:
+                raise ValueError("corrupt sample 5")
+            return super().__getitem__(i)
+
+    dl = DataLoader(Bad(8), batch_size=4, shuffle=False, num_workers=2)
+    with pytest.raises(RuntimeError, match="corrupt sample 5"):
+        list(dl)
