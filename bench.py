@@ -362,7 +362,9 @@ def _main():
         sample = build_test_parity(batch_size)
         scope = (
             "full test.py predict pipeline: conditioner + 10-iter init-noise "
-            "search + 50-step CFG Euler-EDM + fp32 VAE decode, one jit"
+            "search + 50-step CFG Euler-EDM + fp32 VAE decode, one jit "
+            "(fp32 convs at 3-pass bf16 >= the reference's effective TF32 "
+            "conv precision; matmuls 6-pass, see models/layers.py)"
         )
         metric = "inpaint_512_testflow_samples_per_sec_per_chip"
     elif mode.startswith("encprop"):
@@ -449,7 +451,9 @@ def _main():
                 "vs_baseline": round(tp_sps / BASELINE_SAMPLES_PER_SEC, 4),
                 "scope": (
                     "full test.py predict pipeline: conditioner + 10-iter "
-                    "init-noise search + 50-step CFG Euler-EDM + fp32 VAE decode"
+                    "init-noise search + 50-step CFG Euler-EDM + fp32 VAE "
+                    "decode (fp32 convs at 3-pass bf16 >= the reference's "
+                    "effective TF32 conv precision)"
                 ),
             }
         except Exception as e:  # noqa: BLE001 — keep the measured headline

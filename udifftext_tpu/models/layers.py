@@ -28,8 +28,27 @@ zeros_init = nn.initializers.zeros
 
 def matmul_precision(dtype) -> Optional[jax.lax.Precision]:
     """fp32 compute must not silently run bf16 matmul passes (XLA's default
-    precision); bf16 compute keeps the fast native MXU path."""
+    precision); bf16 compute keeps the fast native MXU path.
+
+    HIGHEST (6-pass bf16 ≈ true fp32) matches torch's fp32 MATMUL default
+    (`torch.backends.cuda.matmul.allow_tf32` is False since torch 1.12), so
+    fp32 attention/dense paths stay at reference precision."""
     return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
+def conv_precision(dtype) -> Optional[jax.lax.Precision]:
+    """Precision for CONVOLUTIONS in fp32 compute: Precision.HIGH (3-pass
+    bf16, ~21 effective mantissa bits).
+
+    The reference's "fp32" convs do NOT run at fp32 on the hardware its
+    published results come from: torch enables TF32 for cuDNN convolutions by
+    default (`torch.backends.cudnn.allow_tf32 = True`), which carries a
+    10-bit mantissa. 3-pass bf16 strictly exceeds that, at half the MXU cost
+    of the 6-pass HIGHEST (measured on the fp32 VAE decode:
+    scripts/test_parity_probe.py / ROOFLINE.md round-4 addendum). Matmuls
+    keep HIGHEST via matmul_precision — torch's matmul TF32 default is off,
+    so that's where true-fp32 parity actually lives."""
+    return jax.lax.Precision.HIGH if dtype == jnp.float32 else None
 
 
 def timestep_embedding(timesteps: Array, dim: int, max_period: int = 10000) -> Array:
@@ -118,7 +137,7 @@ class Conv3x3(nn.Module):
             kernel_init=init,
             dtype=self.dtype,
             param_dtype=jnp.float32,
-            precision=matmul_precision(self.dtype),
+            precision=conv_precision(self.dtype),
         )(x)
 
 
@@ -133,7 +152,7 @@ class Conv1x1(nn.Module):
             (1, 1),
             dtype=self.dtype,
             param_dtype=jnp.float32,
-            precision=matmul_precision(self.dtype),
+            precision=conv_precision(self.dtype),
         )(x)
 
 

@@ -26,7 +26,14 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import sdpa
-from .layers import Conv1x1, Conv3x3, GroupNorm32, matmul_precision, silu, upsample_nearest_2x
+from .layers import (
+    Conv1x1,
+    Conv3x3,
+    GroupNorm32,
+    conv_precision,
+    silu,
+    upsample_nearest_2x,
+)
 
 Array = jax.Array
 Dtype = Any
@@ -111,7 +118,7 @@ class VAEDownsample(nn.Module):
             padding="VALID",
             dtype=self.dtype,
             param_dtype=jnp.float32,
-            precision=matmul_precision(self.dtype),
+            precision=conv_precision(self.dtype),
             name="conv",
         )(x)
 
