@@ -12,7 +12,8 @@ bf16 keeps fp32's exponent range, so the fp16-overflow concern that makes
 the torch reference pin the VAE to fp32 does not apply; decode output
 differs at ~1e-2 pixel level with no OCR/FID impact). Pass `fp32vae` as
 argv[2] to measure the strict reference-parity configuration instead
-(fp32 decode costs ~1.75 s per batch-16 iteration vs 0.26 s bf16).
+(fp32 decode: 716 ms per batch-16 since fp32 convs run 3-pass bf16 — see
+models/layers.py conv_precision — vs 116 ms bf16).
 """
 
 from __future__ import annotations

@@ -24,13 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def filter_lmdb(inputs, output: str, min_image_dim: int = 8) -> int:
     from PIL import Image
 
-    from udifftext_tpu.data.lmdb import LMDBReader, write_lmdb
+    from udifftext_tpu.data.lmdb import open_lmdb, write_lmdb
 
     items = {}
     in_samples = 0
     out_samples = 0
     for lmdb_in in inputs:
-        with LMDBReader(lmdb_in) as db:
+        with open_lmdb(lmdb_in) as db:
             raw = db.get(b"num-samples")
             if raw is None:
                 raise SystemExit(f"{lmdb_in}: no b'num-samples' key (not a parseq-layout LMDB)")

@@ -263,3 +263,61 @@ def test_str_filter_lmdb_script(tmp_path):
     assert ds.labels == ["keep1", "keep2", "keep3"]
     img, label = ds[2]
     assert img.size == (32, 32) and label == "keep3"
+
+
+# -- native C++ reader (udifftext_tpu/native/lmdb_reader.cpp) -----------------
+
+
+def _native_or_skip():
+    from udifftext_tpu.data import lmdb_native
+
+    if not lmdb_native.available():
+        pytest.skip(f"no native build: {lmdb_native.build_error()}")
+    return lmdb_native
+
+
+def test_native_reader_differential(tmp_path):
+    """The C++ reader returns byte-identical results to the Python reader on
+    every tree shape the writer produces: single leaf, overflow values, and a
+    multi-level branch tree with random keys."""
+    lmdb_native = _native_or_skip()
+    rng = np.random.RandomState(1)
+    cases = {
+        "small": {f"key-{i:04d}".encode(): f"value {i}".encode()
+                  for i in range(500)},
+        "overflow": {b"small": b"x", b"big": bytes(range(256)) * 64,
+                     b"big2": (bytes(range(256)) * 64)[::-1]},
+        "tree": {
+            bytes(rng.randint(97, 123, 24).astype(np.uint8)): bytes(
+                rng.randint(0, 256, 100).astype(np.uint8))
+            for _ in range(3000)
+        },
+    }
+    for name, items in cases.items():
+        d = str(tmp_path / name)
+        write_lmdb(d, items)
+        with LMDBReader(d) as py, lmdb_native.NativeLMDBReader(d) as cc:
+            assert len(cc) == len(py) == len(items)
+            for k, v in items.items():
+                assert cc.get(k) == v
+            assert cc.get(b"\x00definitely-missing") is None
+            assert cc.get(b"\xffdefinitely-missing") is None
+            assert list(cc.items()) == list(py.items())
+
+
+def test_open_lmdb_backend_selection(tmp_path, monkeypatch):
+    """open_lmdb prefers the native reader, honors UDIFFTEXT_LMDB=py, and the
+    STR dataset path works over whichever backend is selected."""
+    from udifftext_tpu.data import lmdb_native
+    from udifftext_tpu.data.lmdb import open_lmdb
+
+    d = str(tmp_path / "db")
+    write_lmdb(d, {b"num-samples": b"0", b"k": b"v"})
+    monkeypatch.setenv("UDIFFTEXT_LMDB", "py")
+    assert isinstance(open_lmdb(d), LMDBReader)
+    monkeypatch.delenv("UDIFFTEXT_LMDB")
+    db = open_lmdb(d)
+    if lmdb_native.available():
+        assert isinstance(db, lmdb_native.NativeLMDBReader)
+    assert db.get(b"k") == b"v"
+    db.close()

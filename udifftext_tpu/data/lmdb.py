@@ -208,6 +208,28 @@ class LMDBReader:
         self.close()
 
 
+def open_lmdb(path: str):
+    """Open an LMDB for reading through the fastest available backend.
+
+    Prefers the native C++ reader (udifftext_tpu/native/lmdb_reader.cpp —
+    the TPU-native equivalent of the liblmdb C hot path the reference uses,
+    compiled on demand), falling back silently to the pure-Python
+    `LMDBReader` when no compiler is available. Both expose the same
+    get/items/__len__/close interface and are differential-tested against
+    each other (tests/test_lmdb.py). Force a backend with
+    UDIFFTEXT_LMDB=py|native."""
+    forced = os.environ.get("UDIFFTEXT_LMDB", "").lower()
+    if forced == "py":
+        return LMDBReader(path)
+    from . import lmdb_native
+
+    if forced == "native":
+        return lmdb_native.NativeLMDBReader(path)  # raises if unavailable
+    if lmdb_native.available():
+        return lmdb_native.NativeLMDBReader(path)
+    return LMDBReader(path)
+
+
 # ---------------------------------------------------------------------------
 # Minimal writer (fixtures / preprocessing output)
 # ---------------------------------------------------------------------------
@@ -390,7 +412,7 @@ class LmdbStrDataset:
         # folding for single-case charsets, NFKD→ascii normalization, and
         # stripping (not dropping) unsupported characters
         adapter = CharsetAdapter(charset) if charset is not None else None
-        self.db = LMDBReader(path)
+        self.db = open_lmdb(path)
         n = int(self.db.get(b"num-samples") or b"0")
         self.filtered: List[int] = []
         self.labels: List[str] = []
