@@ -274,3 +274,20 @@ def test_multiworker_error_propagates():
     dl = DataLoader(Bad(8), batch_size=4, shuffle=False, num_workers=2)
     with pytest.raises(RuntimeError, match="corrupt sample 5"):
         list(dl)
+
+
+def test_multiworker_dead_worker_detected():
+    """A worker killed hard (SIGKILL — segfault/OOM class) cannot report its
+    task; the watchdog raises instead of blocking on the result queue
+    forever."""
+    import signal
+
+    class Killer(_IndexDataset):
+        def __getitem__(self, i):
+            if i == 2:
+                os.kill(os.getpid(), signal.SIGKILL)
+            return super().__getitem__(i)
+
+    dl = DataLoader(Killer(8), batch_size=4, shuffle=False, num_workers=1)
+    with pytest.raises(RuntimeError, match="died with exit code"):
+        list(dl)

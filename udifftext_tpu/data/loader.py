@@ -210,7 +210,21 @@ class DataLoader:
                     yield buffer.pop(next_out)
                     next_out += 1
                     continue
-                bidx, batch, err = result_q.get()
+                while True:
+                    try:
+                        bidx, batch, err = result_q.get(timeout=5.0)
+                        break
+                    except queue.Empty:
+                        # watchdog: a worker killed hard (segfault, OOM kill)
+                        # never reports its task — hang here would be silent
+                        dead = [w for w in workers
+                                if not w.is_alive() and w.exitcode not in (0, None)]
+                        if dead:
+                            raise RuntimeError(
+                                f"data worker died with exit code "
+                                f"{dead[0].exitcode} (signal/OOM?) — "
+                                f"{inflight} batch(es) were in flight"
+                            )
                 inflight -= 1
                 if err is not None:
                     raise RuntimeError(
