@@ -30,21 +30,68 @@ Array = jax.Array
 Dtype = Any
 
 
+class _KernelParams(nn.Module):
+    """Bias-free kernel holder named Dense_0 so the flax param path matches a
+    `Dense(use_bias=False)` submodule exactly (checkpoint-converter and
+    `precompute_context_kv` compatibility — unet.py reads
+    `attn_p["to_k"]["Dense_0"]["kernel"]`)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return _KernelOnly(self.features, self.in_features, name="Dense_0")()
+
+
+class _KernelOnly(nn.Module):
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+
+
 class SelfAttention(nn.Module):
-    """Fused multi-head self-attention (no map capture)."""
+    """Fused multi-head self-attention (no map capture).
+
+    The q/k/v projections share the input, so with `fuse_qkv` (default) their
+    kernels are concatenated at APPLY time into one (C, 3·inner) GEMM — at
+    C=320 a separate projection occupies only 2.5 of the MXU's 128 output
+    lanes per pass; the fused 960-wide GEMM occupies 7.5 (round-4 verdict /
+    ROOFLINE transformer-glue residual). The parameter tree is unchanged
+    (to_q/to_k/to_v kernels), so torch converters are untouched, and the
+    concatenation is scan-invariant (XLA hoists it out of sampling loops).
+    Columns of a matmul are independent, so the fused result is bit-exact
+    with the separate GEMMs at equal precision."""
 
     heads: int
     dim_head: int
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    fuse_qkv: bool = True
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         inner = self.heads * self.dim_head
-        b, n, _ = x.shape
-        q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
-        v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        b, n, c = x.shape
+        if self.fuse_qkv:
+            wq = _KernelParams(inner, c, name="to_q")()
+            wk = _KernelParams(inner, c, name="to_k")()
+            wv = _KernelParams(inner, c, name="to_v")()
+            w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+            qkv = jnp.matmul(
+                x.astype(self.dtype), w, precision=matmul_precision(self.dtype)
+            )
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+            k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
+            v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
         q = q.reshape(b, n, self.heads, self.dim_head)
         k = k.reshape(b, n, self.heads, self.dim_head)
         v = v.reshape(b, n, self.heads, self.dim_head)
@@ -83,10 +130,20 @@ class CrossAttention(nn.Module):
         scale = self.dim_head**-0.5
 
         q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        # k/v share the context input: one fused (ctx_dim, 2·inner) GEMM
+        # (bit-exact with separate GEMMs — matmul columns are independent).
+        # Param tree unchanged; the hoisted-kv branch still declares the
+        # params (the hoist reads them from the tree) when context is given.
+        if context is not None:
+            wk = _KernelParams(inner, context.shape[-1], name="to_k")()
+            wv = _KernelParams(inner, context.shape[-1], name="to_v")()
         if kv is None:
             l = context.shape[1]
-            k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-            v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+            w = jnp.concatenate([wk, wv], axis=1).astype(self.dtype)
+            kvp = jnp.matmul(
+                context.astype(self.dtype), w, precision=matmul_precision(self.dtype)
+            )
+            k, v = jnp.split(kvp, 2, axis=-1)
             k = k.reshape(b, l, self.heads, self.dim_head)
             v = v.reshape(b, l, self.heads, self.dim_head)
         else:
