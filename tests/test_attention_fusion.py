@@ -66,3 +66,54 @@ def test_cross_attention_fused_kv_matches_hoisted(ctx_len):
     np.testing.assert_allclose(
         np.asarray(map_inline), np.asarray(map_hoist), rtol=1e-5, atol=1e-5
     )
+
+
+def test_block_fused_glue_matches_unfused():
+    """The fused-glue branch (fuse_glue='force' → XLA ref fallbacks on CPU)
+    must match the plain module composition: identical param tree, outputs
+    equal up to the centered-vs-fast LN variance formulation."""
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 40))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 12, 16))
+    kw = dict(heads=4, dim_head=8, t_context_dim=16)
+    from udifftext_tpu.models.attention import BasicTransformerBlock
+
+    plain = BasicTransformerBlock(**kw, fuse_glue="off")
+    fused = BasicTransformerBlock(**kw, fuse_glue="force")
+    p_plain = plain.init(rng, x, ctx)
+    p_fused = fused.init(rng, x, ctx)
+
+    paths_p = {jax.tree_util.keystr(k) for k, _ in jax.tree_util.tree_leaves_with_path(p_plain)}
+    paths_f = {jax.tree_util.keystr(k) for k, _ in jax.tree_util.tree_leaves_with_path(p_fused)}
+    assert paths_p == paths_f
+
+    # nonzero to_out so the cross branch contributes
+    p = jax.tree.map(lambda a: a + 0.01, p_plain)
+    kp = p["params"]["t_attn"]
+    k = (ctx @ kp["to_k"]["Dense_0"]["kernel"]).reshape(2, 12, 4, 8)
+    v = (ctx @ kp["to_v"]["Dense_0"]["kernel"]).reshape(2, 12, 4, 8)
+    kv = {"t": (k, v)}
+
+    out_plain, _ = plain.apply(p, x, ctx, None, False, kv)
+    out_fused, _ = fused.apply(p, x, ctx, None, False, kv)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_plain), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_block_fused_glue_capture_falls_back():
+    """capture_map=True must keep the XLA cross-attn path (the fused kernel
+    does not materialize the softmax map) and still return the map."""
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 40))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 12, 16))
+    from udifftext_tpu.models.attention import BasicTransformerBlock
+
+    fused = BasicTransformerBlock(heads=4, dim_head=8, t_context_dim=16,
+                                  fuse_glue="force")
+    p = fused.init(rng, x, ctx)
+    kp = p["params"]["t_attn"]
+    k = (ctx @ kp["to_k"]["Dense_0"]["kernel"]).reshape(2, 12, 4, 8)
+    v = (ctx @ kp["to_v"]["Dense_0"]["kernel"]).reshape(2, 12, 4, 8)
+    _, t_map = fused.apply(p, x, ctx, None, True, {"t": (k, v)})
+    assert t_map is not None and t_map.shape == (2, 4, 128, 12)

@@ -175,3 +175,152 @@ def test_fused_geglu_vjp_matches_xla():
     g1 = jax.grad(lambda xx: jnp.sum(geglu_ff(xx, w1, b1, w2, b2, 256) ** 2))(x)
     g2 = jax.grad(lambda xx: jnp.sum(_geglu_ref(xx, w1, b1, w2, b2) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-2, atol=2e-2)
+
+
+def test_ln_gemm_ref_matches_module_path():
+    """ln_gemm_ref must agree with LayerNormF32 + matmul (the exact module
+    composition it replaces in BasicTransformerBlock) — CPU-runnable."""
+    from udifftext_tpu.models.attention import LayerNormF32
+    from udifftext_tpu.ops.ln_gemm import ln_gemm_ref
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 32).astype(np.float32)) * 3.0 + 1.0
+    scale = jnp.asarray(rng.randn(32).astype(np.float32))
+    bias = jnp.asarray(rng.randn(32).astype(np.float32))
+    w = jnp.asarray(rng.randn(32, 96).astype(np.float32))
+
+    ln = LayerNormF32()
+    params = {"params": {"LayerNorm_0": {"scale": scale, "bias": bias}}}
+    ref = jnp.matmul(ln.apply(params, x), w, precision=jax.lax.Precision.HIGHEST)
+    out = ln_gemm_ref(x, scale, bias, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(not tpu, reason="needs TPU backend")
+def test_ln_gemm_kernel_matches_ref():
+    from udifftext_tpu.ops.ln_gemm import ln_gemm, ln_gemm_ref
+
+    rng = np.random.RandomState(1)
+    for (b, n, c, f), dt in (
+        ((2, 512, 320, 960), jnp.bfloat16),   # ds1 fused-qkv shape (scaled N)
+        ((2, 256, 640, 640), jnp.bfloat16),   # ds2 cross-q shape
+        ((2, 128, 1280, 3840), jnp.bfloat16), # ds4 fused qkv (chunked F)
+    ):
+        x = jnp.asarray(rng.randn(b, n, c), dt) * 2.0
+        scale = jnp.asarray(rng.randn(c).astype(np.float32))
+        bias = jnp.asarray(rng.randn(c).astype(np.float32))
+        w = jnp.asarray(rng.randn(c, f), dt) * 0.05
+        out = ln_gemm(x, scale, bias, w)
+        ref = ln_gemm_ref(x, scale, bias, w)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=5e-2, atol=5e-2,
+        )
+
+
+@pytest.mark.skipif(not tpu, reason="needs TPU backend")
+def test_ln_gemm_vjp_matches_ref():
+    from udifftext_tpu.ops.ln_gemm import ln_gemm, ln_gemm_ref
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 256, 320), jnp.bfloat16)
+    scale = jnp.asarray(rng.randn(320).astype(np.float32))
+    bias = jnp.asarray(rng.randn(320).astype(np.float32))
+    w = jnp.asarray(rng.randn(320, 960), jnp.bfloat16) * 0.05
+
+    def f_kernel(xx):
+        return jnp.sum(ln_gemm(xx, scale, bias, w) ** 2)
+
+    def f_ref(xx):
+        return jnp.sum(ln_gemm_ref(xx, scale, bias, w) ** 2)
+
+    gk = jax.grad(f_kernel)(x)
+    gr = jax.grad(f_ref)(x)
+    np.testing.assert_allclose(
+        np.asarray(gk, np.float32), np.asarray(gr, np.float32), rtol=1e-1, atol=1e-1
+    )
+
+
+def test_fused_cross_attention_ref_matches_module_path():
+    """fused_cross_attention_ref == LN + CrossAttention(hoisted kv) + residual
+    (the exact composition it replaces) — CPU-runnable."""
+    from udifftext_tpu.models.attention import CrossAttention, LayerNormF32
+    from udifftext_tpu.ops.cross_attention import fused_cross_attention_ref
+
+    rng = np.random.RandomState(0)
+    heads, d = 4, 8
+    x = jnp.asarray(rng.randn(2, 64, 32).astype(np.float32))
+    ctx = jnp.asarray(rng.randn(2, 12, 16).astype(np.float32))
+    ln = LayerNormF32()
+    lnp = ln.init(jax.random.PRNGKey(0), x)
+    ca = CrossAttention(heads=heads, dim_head=d)
+    cap = ca.init(jax.random.PRNGKey(1), x, ctx)
+    # make to_out nonzero (it is zero-init) so the test is non-trivial
+    cap = jax.tree.map(lambda a: a + 0.01, cap)
+    lnp = jax.tree.map(lambda a: a + 0.01, lnp)
+
+    p = cap["params"]
+    k = (ctx @ p["to_k"]["Dense_0"]["kernel"]).reshape(2, 12, heads, d)
+    v = (ctx @ p["to_v"]["Dense_0"]["kernel"]).reshape(2, 12, heads, d)
+
+    out_mod, _ = ca.apply(cap, ln.apply(lnp, x), ctx, False, kv=(k, v))
+    ref = fused_cross_attention_ref(
+        x, lnp["params"]["LayerNorm_0"]["scale"], lnp["params"]["LayerNorm_0"]["bias"],
+        p["to_q"]["Dense_0"]["kernel"], k, v,
+        p["to_out"]["Dense_0"]["kernel"], p["to_out"]["Dense_0"]["bias"], heads,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(out_mod + x), rtol=2e-4, atol=2e-4
+    )
+
+
+@pytest.mark.skipif(not tpu, reason="needs TPU backend")
+def test_fused_cross_attention_kernel_matches_ref():
+    from udifftext_tpu.ops.cross_attention import (
+        fused_cross_attention, fused_cross_attention_ref,
+    )
+
+    rng = np.random.RandomState(1)
+    for b, n, c, heads in ((2, 512, 320, 5), (2, 256, 640, 10), (1, 128, 1280, 20)):
+        d = c // heads
+        x = jnp.asarray(rng.randn(b, n, c), jnp.bfloat16)
+        s = jnp.asarray(rng.randn(c).astype(np.float32)) * 0.1 + 1.0
+        bb = jnp.asarray(rng.randn(c).astype(np.float32)) * 0.1
+        wq = jnp.asarray(rng.randn(c, c), jnp.bfloat16) * 0.05
+        wo = jnp.asarray(rng.randn(c, c), jnp.bfloat16) * 0.05
+        bo = jnp.asarray(rng.randn(c).astype(np.float32)) * 0.1
+        k = jnp.asarray(rng.randn(b, 12, heads, d), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(b, 12, heads, d), jnp.bfloat16)
+        out = fused_cross_attention(x, s, bb, wq, k, v, wo, bo, heads)
+        ref = fused_cross_attention_ref(x, s, bb, wq, k, v, wo, bo, heads)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=5e-2, atol=5e-2,
+        )
+
+
+@pytest.mark.skipif(not tpu, reason="needs TPU backend")
+def test_fused_cross_attention_vjp_matches_ref():
+    from udifftext_tpu.ops.cross_attention import (
+        fused_cross_attention, fused_cross_attention_ref,
+    )
+
+    rng = np.random.RandomState(2)
+    b, n, c, heads = 1, 256, 320, 5
+    d = c // heads
+    x = jnp.asarray(rng.randn(b, n, c), jnp.bfloat16)
+    s = jnp.ones((c,), jnp.float32)
+    bb = jnp.zeros((c,), jnp.float32)
+    wq = jnp.asarray(rng.randn(c, c), jnp.bfloat16) * 0.05
+    wo = jnp.asarray(rng.randn(c, c), jnp.bfloat16) * 0.05
+    bo = jnp.zeros((c,), jnp.float32)
+    k = jnp.asarray(rng.randn(b, 12, heads, d), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(b, 12, heads, d), jnp.bfloat16)
+
+    gk = jax.grad(lambda xx: jnp.sum(
+        fused_cross_attention(xx, s, bb, wq, k, v, wo, bo, heads) ** 2))(x)
+    gr = jax.grad(lambda xx: jnp.sum(
+        fused_cross_attention_ref(xx, s, bb, wq, k, v, wo, bo, heads) ** 2))(x)
+    np.testing.assert_allclose(
+        np.asarray(gk, np.float32), np.asarray(gr, np.float32), rtol=1e-1, atol=2e-1
+    )

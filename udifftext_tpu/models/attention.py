@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import sdpa
-from .layers import Dense, GroupNorm32, matmul_precision
+from .layers import Dense, GroupNorm32, matmul_precision, zeros_init
 
 Array = jax.Array
 Dtype = Any
@@ -56,6 +56,70 @@ class _KernelOnly(nn.Module):
         )
 
 
+class _BiasedKernelParams(nn.Module):
+    """Kernel+bias holder matching a `Dense(zero_init=...)` submodule's param
+    tree (to_out compatibility for the fused cross-attention branch)."""
+
+    features: int
+    in_features: int
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self):
+        return _BiasedKernelOnly(
+            self.features, self.in_features, self.zero_init, name="Dense_0"
+        )()
+
+
+class _BiasedKernelOnly(nn.Module):
+    features: int
+    in_features: int
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self):
+        init = zeros_init if self.zero_init else nn.initializers.lecun_normal()
+        kernel = self.param(
+            "kernel", init, (self.in_features, self.features), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _LNParams(nn.Module):
+    """Scale/bias holder matching LayerNormF32's param tree
+    (<name>/LayerNorm_0/{scale,bias}) so the fused-glue paths can read the
+    norm parameters without running the XLA LayerNorm."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _LNParamsInner(self.features, name="LayerNorm_0")()
+
+
+class _LNParamsInner(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return scale, bias
+
+
+def _ln_f32(x: Array, scale: Array, bias: Array, eps: float = 1e-5) -> Array:
+    """Functional LayerNorm with fp32 centered stats — the math the Pallas
+    fused kernels use (ops/ln_gemm.py), applied when a fused branch falls
+    back to XLA."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 class SelfAttention(nn.Module):
     """Fused multi-head self-attention (no map capture).
 
@@ -76,7 +140,11 @@ class SelfAttention(nn.Module):
     fuse_qkv: bool = True
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, ln: Optional[Tuple[Array, Array]] = None) -> Array:
+        """`ln`, when given, is the PRE-norm (scale, bias) and `x` is the RAW
+        (un-normalized) input: the LayerNorm is fused into the qkv projection
+        (Pallas ln_gemm on TPU — the normalized activation never round-trips
+        HBM; XLA fallback applies the same fp32-stats LN first)."""
         inner = self.heads * self.dim_head
         b, n, c = x.shape
         if self.fuse_qkv:
@@ -84,11 +152,25 @@ class SelfAttention(nn.Module):
             wk = _KernelParams(inner, c, name="to_k")()
             wv = _KernelParams(inner, c, name="to_v")()
             w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
-            qkv = jnp.matmul(
-                x.astype(self.dtype), w, precision=matmul_precision(self.dtype)
-            )
+            if ln is not None:
+                from ..ops.ln_gemm import ln_gemm, ln_gemm_supported
+
+                xc = x.astype(self.dtype)
+                if ln_gemm_supported(xc, w):
+                    qkv = ln_gemm(xc, ln[0], ln[1], w)
+                else:
+                    qkv = jnp.matmul(
+                        _ln_f32(xc, ln[0], ln[1]), w,
+                        precision=matmul_precision(self.dtype),
+                    )
+            else:
+                qkv = jnp.matmul(
+                    x.astype(self.dtype), w, precision=matmul_precision(self.dtype)
+                )
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
+            if ln is not None:
+                x = _ln_f32(x.astype(self.dtype), ln[0], ln[1])
             q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
             k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
             v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
@@ -118,16 +200,51 @@ class CrossAttention(nn.Module):
         context: Array,
         capture_map: bool = False,
         kv: Optional[Tuple[Array, Array]] = None,
+        ln: Optional[Tuple[Array, Array]] = None,
     ) -> Tuple[Array, Optional[Array]]:
         """`kv`, when given, is the pre-projected (k, v) pair shaped
         (B, L, heads, dim_head) — the to_k/to_v projections of a context that
         is CONSTANT across a sampling scan are loop-invariant, so callers may
         hoist them out of the scan (models/unet.precompute_context_kv) and
         skip the per-step projections here. Bit-exact with the inline path
-        (same dtype casts and matmul precision)."""
+        (same dtype casts and matmul precision).
+
+        `ln`, when given, is the PRE-norm (scale, bias), `x` is the RAW
+        (un-normalized) input, and the RETURNED output INCLUDES the residual
+        add (`x + branch`): on TPU with hoisted kv and no map capture the
+        whole branch (LN → q proj → 12-token attention → out proj → residual)
+        runs as ONE Pallas kernel (ops/cross_attention.py) that reads x once
+        from HBM and writes once."""
         inner = self.heads * self.dim_head
         b, n, _ = x.shape
         scale = self.dim_head**-0.5
+
+        if ln is not None and kv is not None and not capture_map:
+            if context is not None:
+                # keep to_k/to_v in the tree (the hoist reads them)
+                _KernelParams(inner, context.shape[-1], name="to_k")()
+                _KernelParams(inner, context.shape[-1], name="to_v")()
+            wq = _KernelParams(inner, x.shape[-1], name="to_q")()
+            wo, bo = _BiasedKernelParams(
+                x.shape[-1], inner, zero_init=True, name="to_out"
+            )()
+            k, v = kv
+            from ..ops.cross_attention import (
+                cross_attention_supported, fused_cross_attention,
+                fused_cross_attention_ref,
+            )
+
+            xc = x.astype(self.dtype)
+            fn = (
+                fused_cross_attention
+                if cross_attention_supported(xc, k, self.heads)
+                else fused_cross_attention_ref
+            )
+            return fn(xc, ln[0], ln[1], wq, k, v, wo, bo, self.heads), None
+        x_residual = None
+        if ln is not None:
+            x_residual = x  # ln-given contract: output includes the residual
+            x = _ln_f32(x.astype(self.dtype), ln[0], ln[1])
 
         q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         # k/v share the context input: one fused (ctx_dim, 2·inner) GEMM
@@ -161,6 +278,8 @@ class CrossAttention(nn.Module):
         out = jnp.einsum("bhnl,blhd->bnhd", attn_c, v, precision=matmul_precision(self.dtype)).reshape(b, n, inner)
         # reference zero-inits to_out (attention.py:129-134)
         out = Dense(x.shape[-1], zero_init=True, dtype=self.dtype, name="to_out")(out)
+        if x_residual is not None:
+            out = out + x_residual.astype(out.dtype)
         return out, (attn if capture_map else None)
 
 
@@ -204,7 +323,10 @@ class GEGLUFeedForward(nn.Module):
     impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, ln: Optional[Tuple[Array, Array]] = None) -> Array:
+        """`ln`, when given, is the PRE-norm (scale, bias) and `x` is the RAW
+        input: the LayerNorm runs inside the fused kernel's prologue
+        (geglu_ff_ln), or as a functional fp32-stat LN on the XLA path."""
         dim = x.shape[-1]
         inner = dim * self.mult
         w1, b1 = _DenseParams(inner * 2, dim, name="proj")()
@@ -222,10 +344,17 @@ class GEGLUFeedForward(nn.Module):
                 and n % 128 == 0)
         )
         if use_fused:
+            if ln is not None:
+                from ..ops.geglu import geglu_ff_ln
+
+                return geglu_ff_ln(x, ln[0], ln[1], w1, b1, w2, b2,
+                                   block_n=min(512, n))
             from ..ops.geglu import geglu_ff
 
             return geglu_ff(x, w1, b1, w2, b2, block_n=min(512, n))
 
+        if ln is not None:
+            x = _ln_f32(x, ln[0], ln[1])
         prec = matmul_precision(self.dtype)
         hg = jnp.matmul(x, w1.astype(x.dtype), precision=prec) + b1.astype(x.dtype)
         h, gate = jnp.split(hg, 2, axis=-1)
@@ -249,12 +378,29 @@ class LayerNormF32(nn.Module):
 
 
 class BasicTransformerBlock(nn.Module):
+    """self-attn → t_attn → (v_attn) → GEGLU FF with pre-LN residuals.
+
+    On TPU (bf16, N % 128 == 0, `fuse_glue` != "off") every pre-LayerNorm is
+    fused into its consumer instead of round-tripping the (B, N, C)
+    activation through HBM: norm1 → the qkv projection (ops/ln_gemm),
+    t_norm/v_norm → the single-kernel cross-attention branch
+    (ops/cross_attention, residual included), norm3 → the GEGLU prologue
+    (ops/geglu.geglu_ff_ln). The parameter tree is IDENTICAL in both paths
+    (LN scale/bias declared via holders at the same names), so checkpoints
+    convert once and run either way. Map capture keeps the XLA cross-attn
+    path (the kernel does not materialize the softmax map)."""
+
     heads: int
     dim_head: int
     t_context_dim: Optional[int] = None
     v_context_dim: Optional[int] = None
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    fuse_qkv: bool = True  # A/B hook for scripts/glue_fusion_probe.py
+    # "auto" | "off" | "force" — LN-into-consumer fusion ("force" takes the
+    # fused branch regardless of backend; off-TPU the ops' XLA reference
+    # fallbacks run, which makes the branch CPU-testable)
+    fuse_glue: str = "auto"
 
     @nn.compact
     def __call__(
@@ -266,30 +412,67 @@ class BasicTransformerBlock(nn.Module):
         ctx_kv: Optional[Dict[str, Tuple[Array, Array]]] = None,
     ) -> Tuple[Array, Optional[Array]]:
         ctx_kv = ctx_kv or {}
-        x = (
-            SelfAttention(
-                self.heads, self.dim_head, dtype=self.dtype, attn_impl=self.attn_impl, name="attn1"
-            )(LayerNormF32(dtype=self.dtype, name="norm1")(x))
-            + x
+        c = x.shape[-1]
+        fuse = self.fuse_glue == "force" or (
+            self.fuse_glue != "off"
+            and self.fuse_qkv
+            and self.dtype == jnp.bfloat16
+            and self.attn_impl != "xla"
+            and jax.default_backend() == "tpu"
+            and x.shape[1] % 128 == 0
         )
+
+        if fuse:
+            s1, b1 = _LNParams(c, name="norm1")()
+            x = SelfAttention(
+                self.heads, self.dim_head, dtype=self.dtype,
+                attn_impl=self.attn_impl, fuse_qkv=True, name="attn1"
+            )(x, ln=(s1, b1)) + x
+        else:
+            x = (
+                SelfAttention(
+                    self.heads, self.dim_head, dtype=self.dtype,
+                    attn_impl=self.attn_impl, fuse_qkv=self.fuse_qkv, name="attn1"
+                )(LayerNormF32(dtype=self.dtype, name="norm1")(x))
+                + x
+            )
+
         t_map = None
         if self.t_context_dim is not None and self.t_context_dim > 0:
-            h, t_map = CrossAttention(
-                self.heads, self.dim_head, dtype=self.dtype, name="t_attn"
-            )(LayerNormF32(dtype=self.dtype, name="t_norm")(x), t_context, capture_map,
-              kv=ctx_kv.get("t"))
-            x = h + x
+            if fuse and ctx_kv.get("t") is not None and not capture_map:
+                st, bt = _LNParams(c, name="t_norm")()
+                x, _ = CrossAttention(
+                    self.heads, self.dim_head, dtype=self.dtype, name="t_attn"
+                )(x, t_context, False, kv=ctx_kv["t"], ln=(st, bt))
+            else:
+                h, t_map = CrossAttention(
+                    self.heads, self.dim_head, dtype=self.dtype, name="t_attn"
+                )(LayerNormF32(dtype=self.dtype, name="t_norm")(x), t_context,
+                  capture_map, kv=ctx_kv.get("t"))
+                x = h + x
         if self.v_context_dim is not None and self.v_context_dim > 0:
-            h, _ = CrossAttention(
-                self.heads, self.dim_head, dtype=self.dtype, name="v_attn"
-            )(LayerNormF32(dtype=self.dtype, name="v_norm")(x), v_context, False,
-              kv=ctx_kv.get("v"))
-            x = h + x
-        x = GEGLUFeedForward(
+            if fuse and ctx_kv.get("v") is not None:
+                sv, bv = _LNParams(c, name="v_norm")()
+                x, _ = CrossAttention(
+                    self.heads, self.dim_head, dtype=self.dtype, name="v_attn"
+                )(x, v_context, False, kv=ctx_kv["v"], ln=(sv, bv))
+            else:
+                h, _ = CrossAttention(
+                    self.heads, self.dim_head, dtype=self.dtype, name="v_attn"
+                )(LayerNormF32(dtype=self.dtype, name="v_norm")(x), v_context, False,
+                  kv=ctx_kv.get("v"))
+                x = h + x
+
+        ff = GEGLUFeedForward(
             dtype=self.dtype,
             impl="xla" if self.attn_impl == "xla" else "auto",
             name="ff",
-        )(LayerNormF32(dtype=self.dtype, name="norm3")(x)) + x
+        )
+        if fuse:
+            s3, b3 = _LNParams(c, name="norm3")()
+            x = ff(x, ln=(s3, b3)) + x
+        else:
+            x = ff(LayerNormF32(dtype=self.dtype, name="norm3")(x)) + x
         return x, t_map
 
 

@@ -52,6 +52,56 @@ def _gelu_kernel_approx(x: Array) -> Array:
     return 0.5 * x * (1.0 + _erf_poly(x * _INV_SQRT2))
 
 
+def _geglu_ln_kernel(
+    x_ref, s_ref, b_ref, w1h_ref, b1h_ref, w1g_ref, b1g_ref, w2_ref, b2_ref,
+    o_ref, acc_ref, xn_ref, *, n_chunks: int, precision, eps: float,
+):
+    """GEGLU with a fused LayerNorm prologue: the fp32-stat LN of the x block
+    is computed ONCE (k == 0) into a VMEM scratch — the normalized activation
+    never exists in HBM (ln_gemm.py rationale; this is the norm3 → FF edge of
+    BasicTransformerBlock)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        xf = x_ref[0].astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        xc = xf - mean
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        y = (xc * jax.lax.rsqrt(var + eps) * s_ref[...].astype(jnp.float32)
+             + b_ref[...].astype(jnp.float32))
+        xn_ref[...] = y.astype(xn_ref.dtype)
+
+    x = xn_ref[...]  # (bn, C)
+
+    h = jax.lax.dot_general(
+        x, w1h_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    ) + b1h_ref[...].astype(jnp.float32)
+    g = jax.lax.dot_general(
+        x, w1g_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    ) + b1g_ref[...].astype(jnp.float32)
+    act = (h * _gelu_kernel_approx(g)).astype(x.dtype)  # (bn, kc)
+
+    part = jax.lax.dot_general(
+        act, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = part
+
+    @pl.when(k > 0)
+    def _():
+        acc_ref[...] += part
+
+    @pl.when(k == n_chunks - 1)
+    def _():
+        o_ref[0] = (acc_ref[...] + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
 def _geglu_kernel(
     x_ref, w1h_ref, b1h_ref, w1g_ref, b1g_ref, w2_ref, b2_ref, o_ref, acc_ref,
     *, n_chunks: int, precision,
@@ -156,6 +206,98 @@ def _geglu_fwd_impl(x, w1, b1, w2, b2, block_n=512):
             transcendentals=b * n * inner,
         ),
     )(x, w1h, b1h, w1g, b1g, w2c, b2r)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def geglu_ff_ln(x: Array, ln_scale: Array, ln_bias: Array,
+                w1: Array, b1: Array, w2: Array, b2: Array,
+                block_n: int = 512) -> Array:
+    """LayerNorm(x) → GEGLU FF, LN fused into the kernel prologue.
+    x (B, N, C), ln_scale/ln_bias (C,), w1 (C, 2I), b1 (2I,), w2 (I, C),
+    b2 (C,) → (B, N, C)."""
+    return _geglu_ln_fwd_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, block_n)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def _geglu_ln_fwd_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, block_n=512):
+    from .flash_attention import _pick_block
+
+    b, n, c = x.shape
+    inner = w2.shape[0]
+    block_n = _pick_block(n, block_n)
+    assert n % block_n == 0, (n, block_n)
+    dtype = x.dtype
+
+    w1h = w1[:, :inner].astype(dtype)
+    w1g = w1[:, inner:].astype(dtype)
+    b1h = b1[:inner].reshape(1, inner)
+    b1g = b1[inner:].reshape(1, inner)
+    w2c = w2.astype(dtype)
+    b2r = b2.reshape(1, c)
+    s = ln_scale.reshape(1, c)
+    bb = ln_bias.reshape(1, c)
+
+    itemsize = 2 if dtype == jnp.bfloat16 else 4
+    chunk = _pick_chunk(c, inner, block_n, itemsize)
+    n_chunks = inner // chunk
+    grid = (b, n // block_n, n_chunks)
+
+    precision = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    return pl.pallas_call(
+        functools.partial(_geglu_ln_kernel, n_chunks=n_chunks,
+                          precision=precision, eps=1e-5),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_n, c), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j, k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j, k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, chunk), lambda i, j, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i, j, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, chunk), lambda i, j, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i, j, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, c), lambda i, j, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j, k: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_n, c), lambda i, j, k: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_n, c), jnp.float32),
+            pltpu.VMEM((block_n, c), dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * (c * 2 * inner + inner * c),
+            bytes_accessed=2 * x.size * itemsize,
+            transcendentals=b * n * inner,
+        ),
+    )(x, s, bb, w1h, b1h, w1g, b1g, w2c, b2r)
+
+
+def _ln_ref_f32(x, scale, bias, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def geglu_ff_ln_ref(x, ln_scale, ln_bias, w1, b1, w2, b2):
+    """XLA reference: LN then the exact-gelu GEGLU composition."""
+    return _geglu_ref(_ln_ref_f32(x, ln_scale, ln_bias), w1, b1, w2, b2)
+
+
+def _geglu_ln_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, block_n):
+    return (_geglu_ln_fwd_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, block_n),
+            (x, ln_scale, ln_bias, w1, b1, w2, b2))
+
+
+def _geglu_ln_bwd(block_n, res, g):
+    x, ln_scale, ln_bias, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(geglu_ff_ln_ref, x, ln_scale, ln_bias, w1, b1, w2, b2)
+    return vjp(g)
+
+
+geglu_ff_ln.defvjp(_geglu_ln_fwd, _geglu_ln_bwd)
 
 
 def _geglu_ref(x, w1, b1, w2, b2):
