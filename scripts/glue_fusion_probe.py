@@ -119,6 +119,17 @@ def main():
         timed(ln_then_gemm, x, K, f"F. XLA LN -> fused ({c}->{3 * c}) GEMM")
         timed(ln_gemm_fused, x, K, f"F. Pallas ln_gemm ({c}->{3 * c})")
 
+        # F'. the 3-compact-output variant actually shipped (ln_gemm3):
+        # includes the strided-split avoidance that the single-output
+        # fused GEMM lacks
+        from udifftext_tpu.ops.ln_gemm import ln_gemm3
+
+        def ln_gemm3_run(h, _w=w1, _sc=sc, _bi=bi):
+            q, k_, v_ = ln_gemm3(h, _sc, _bi, _w, _w, _w)
+            return q + k_ + v_
+
+        timed(ln_gemm3_run, x, K, f"F. Pallas ln_gemm3 (3x {c}->{c} compact)")
+
         # A. SelfAttention fused vs unfused
         for fuse in (False, True):
             sa = SelfAttention(heads=heads, dim_head=DIM_HEAD,

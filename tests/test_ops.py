@@ -324,3 +324,46 @@ def test_fused_cross_attention_vjp_matches_ref():
     np.testing.assert_allclose(
         np.asarray(gk, np.float32), np.asarray(gr, np.float32), rtol=1e-1, atol=2e-1
     )
+
+
+def test_ln_gemm3_ref_matches_module_path():
+    from udifftext_tpu.models.attention import LayerNormF32
+    from udifftext_tpu.ops.ln_gemm import ln_gemm3_ref
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 64, 32).astype(np.float32)) * 2.0
+    scale = jnp.asarray(rng.randn(32).astype(np.float32))
+    bias = jnp.asarray(rng.randn(32).astype(np.float32))
+    ws = [jnp.asarray(rng.randn(32, 24).astype(np.float32)) for _ in range(3)]
+
+    ln = LayerNormF32()
+    params = {"params": {"LayerNorm_0": {"scale": scale, "bias": bias}}}
+    xn = ln.apply(params, x)
+    outs = ln_gemm3_ref(x, scale, bias, *ws)
+    for o, w in zip(outs, ws):
+        ref = jnp.matmul(xn, w, precision=jax.lax.Precision.HIGHEST)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(not tpu, reason="needs TPU backend")
+def test_ln_gemm3_kernel_matches_ref():
+    from udifftext_tpu.ops.ln_gemm import ln_gemm3, ln_gemm3_ref
+
+    rng = np.random.RandomState(4)
+    for b, n, c in ((2, 512, 320), (2, 256, 640)):
+        x = jnp.asarray(rng.randn(b, n, c), jnp.bfloat16) * 2.0
+        scale = jnp.asarray(rng.randn(c).astype(np.float32))
+        bias = jnp.asarray(rng.randn(c).astype(np.float32))
+        ws = [jnp.asarray(rng.randn(c, c), jnp.bfloat16) * 0.05 for _ in range(3)]
+        outs = ln_gemm3(x, scale, bias, *ws)
+        refs = ln_gemm3_ref(x, scale, bias, *ws)
+        for o, r in zip(outs, refs):
+            np.testing.assert_allclose(
+                np.asarray(o, np.float32), np.asarray(r, np.float32),
+                rtol=5e-2, atol=5e-2,
+            )
+    # ds4 (C=1280): three resident weights exceed the VMEM budget — the
+    # support gate must say no (SelfAttention then falls back to LN + GEMMs)
+    from udifftext_tpu.ops.ln_gemm import ln_gemm3_supported
+
+    assert not ln_gemm3_supported(jnp.zeros((1, 256, 1280), jnp.bfloat16), 1280)

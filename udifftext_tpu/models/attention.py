@@ -143,31 +143,27 @@ class SelfAttention(nn.Module):
     def __call__(self, x: Array, ln: Optional[Tuple[Array, Array]] = None) -> Array:
         """`ln`, when given, is the PRE-norm (scale, bias) and `x` is the RAW
         (un-normalized) input: the LayerNorm is fused into the qkv projection
-        (Pallas ln_gemm on TPU — the normalized activation never round-trips
-        HBM; XLA fallback applies the same fp32-stats LN first)."""
+        (Pallas ln_gemm3 on TPU — the normalized activation never round-trips
+        HBM and q/k/v come back as COMPACT buffers; XLA fallback applies the
+        same fp32-stats LN then separate projections).
+
+        Round-5 measurement note: a plain XLA concat-GEMM ("one 320→960
+        matmul + jnp.split") REGRESSED the step — the split views are strided
+        and XLA copies them into compact buffers before the flash kernel, so
+        the XLA path keeps three separate GEMMs and the wide-GEMM win lives
+        only in the Pallas kernel, whose three outputs are compact."""
         inner = self.heads * self.dim_head
         b, n, c = x.shape
-        if self.fuse_qkv:
+        use_ln_kernel = False
+        if self.fuse_qkv and ln is not None:
+            from ..ops.ln_gemm import ln_gemm3, ln_gemm3_supported
+
+            use_ln_kernel = ln_gemm3_supported(x, inner)
+        if use_ln_kernel:
             wq = _KernelParams(inner, c, name="to_q")()
             wk = _KernelParams(inner, c, name="to_k")()
             wv = _KernelParams(inner, c, name="to_v")()
-            w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
-            if ln is not None:
-                from ..ops.ln_gemm import ln_gemm, ln_gemm_supported
-
-                xc = x.astype(self.dtype)
-                if ln_gemm_supported(xc, w):
-                    qkv = ln_gemm(xc, ln[0], ln[1], w)
-                else:
-                    qkv = jnp.matmul(
-                        _ln_f32(xc, ln[0], ln[1]), w,
-                        precision=matmul_precision(self.dtype),
-                    )
-            else:
-                qkv = jnp.matmul(
-                    x.astype(self.dtype), w, precision=matmul_precision(self.dtype)
-                )
-            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q, k, v = ln_gemm3(x.astype(self.dtype), ln[0], ln[1], wq, wk, wv)
         else:
             if ln is not None:
                 x = _ln_f32(x.astype(self.dtype), ln[0], ln[1])
@@ -247,20 +243,13 @@ class CrossAttention(nn.Module):
             x = _ln_f32(x.astype(self.dtype), ln[0], ln[1])
 
         q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        # k/v share the context input: one fused (ctx_dim, 2·inner) GEMM
-        # (bit-exact with separate GEMMs — matmul columns are independent).
-        # Param tree unchanged; the hoisted-kv branch still declares the
-        # params (the hoist reads them from the tree) when context is given.
-        if context is not None:
-            wk = _KernelParams(inner, context.shape[-1], name="to_k")()
-            wv = _KernelParams(inner, context.shape[-1], name="to_v")()
+        # k/v stay SEPARATE GEMMs: a concat-GEMM + jnp.split yields strided
+        # views whose compaction copies cost more than the wide-GEMM saves
+        # (round-5 bench regression on the q/k/v version of the same idea)
         if kv is None:
             l = context.shape[1]
-            w = jnp.concatenate([wk, wv], axis=1).astype(self.dtype)
-            kvp = jnp.matmul(
-                context.astype(self.dtype), w, precision=matmul_precision(self.dtype)
-            )
-            k, v = jnp.split(kvp, 2, axis=-1)
+            k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+            v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
             k = k.reshape(b, l, self.heads, self.dim_head)
             v = v.reshape(b, l, self.heads, self.dim_head)
         else:
@@ -399,8 +388,17 @@ class BasicTransformerBlock(nn.Module):
     fuse_qkv: bool = True  # A/B hook for scripts/glue_fusion_probe.py
     # "auto" | "off" | "force" — LN-into-consumer fusion ("force" takes the
     # fused branch regardless of backend; off-TPU the ops' XLA reference
-    # fallbacks run, which makes the branch CPU-testable)
-    fuse_glue: str = "auto"
+    # fallbacks run, which makes the branch CPU-testable).
+    #
+    # DEFAULT OFF — measured round 5 (scripts/glue_fusion_probe.py, v5e):
+    # every fused variant LOSES to XLA's own scheduling of this bytes-bound
+    # glue — ds1 block 11.61 ms plain vs 13.07 ms fused; the Pallas t_attn
+    # branch kernel 1.47 ms vs 0.96 ms XLA; ln_gemm3 1.19 ms vs LN+3 GEMMs
+    # 0.65 ms; and a plain XLA concat-qkv GEMM is 2x slower than three
+    # separate 320-wide GEMMs (1.02 vs 0.49 ms) before even paying the
+    # strided-split copies. The machinery stays for A/B evidence and other
+    # toolchains/shapes; the shipped path is the XLA composition.
+    fuse_glue: str = "off"
 
     @nn.compact
     def __call__(

@@ -155,9 +155,9 @@ def _fwd_impl(x, ln_scale, ln_bias, wq, k, v, wo, bo, heads, eps):
         out_specs=pl.BlockSpec((1, block_n, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, c), dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2.0 * b * n * c * (2 * c + 2 * l),
-            bytes_accessed=2 * b * n * c * itemsize + 2 * c * c * itemsize,
-            transcendentals=b * n * heads * l,
+            flops=int(2 * b * n * c * (2 * c + 2 * l)),
+            bytes_accessed=int(2 * b * n * c * itemsize + 2 * c * c * itemsize),
+            transcendentals=int(b * n * heads * l),
         ),
     )(x, s, bb, wq.astype(dtype), kq, vq, wo.astype(dtype), bo_r)
 

@@ -127,11 +127,144 @@ def _ln_gemm_fwd_impl(x, scale, bias, w, eps):
         out_shape=jax.ShapeDtypeStruct((b, n, f), dtype),
         scratch_shapes=[pltpu.VMEM((block_n, c), dtype)],
         cost_estimate=pl.CostEstimate(
-            flops=2.0 * b * n * c * f,
-            bytes_accessed=(b * n * c + b * n * f + c * f) * itemsize,
+            flops=int(2 * b * n * c * f),
+            bytes_accessed=int((b * n * c + b * n * f + c * f) * itemsize),
             transcendentals=0,
         ),
     )(x, s, bb, wc)
+
+
+# -- 3-output variant: LN → q/k/v projections with COMPACT outputs ----------
+#
+# Round-5 finding: concatenating the q/k/v kernels into one XLA GEMM
+# REGRESSED the step (bench 1.7157 → 1.5711 samples/s): `jnp.split` of the
+# (B, N, 3C) product yields strided views that XLA must copy into compact
+# buffers before the Pallas flash kernel can consume them (~240 MB extra
+# HBM traffic per ds1 layer). This kernel keeps the wide-GEMM MXU benefit
+# AND writes q/k/v as three separate compact arrays: grid dim 2 walks the
+# three column blocks of the concatenated weight; each step writes its own
+# output, the normalized x block is computed once and reused from scratch.
+
+
+def _ln_gemm3_kernel(x_ref, s_ref, b_ref, w1_ref, w2_ref, w3_ref,
+                     o1_ref, o2_ref, o3_ref, *, eps: float, precision):
+    xf = x_ref[0].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xn = (xc * jax.lax.rsqrt(var + eps) * s_ref[...].astype(jnp.float32)
+          + b_ref[...].astype(jnp.float32)).astype(x_ref.dtype)
+
+    for w_ref, o_ref in ((w1_ref, o1_ref), (w2_ref, o2_ref), (w3_ref, o3_ref)):
+        o_ref[0] = jax.lax.dot_general(
+            xn, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ).astype(o_ref.dtype)
+
+
+def _ln_gemm3_block_n(n: int, c: int, f: int, itemsize: int):
+    """Largest multiple-of-128 divisor of n with all three weights + the
+    working tiles inside a ~12 MB VMEM budget; None if nothing fits (the
+    caller falls back to separate XLA GEMMs — Pallas forbids blocking the
+    weight columns at non-128-multiples, so the weights must be resident)."""
+    budget = 12 * 1024 * 1024
+    fixed = 3 * c * f * itemsize
+    for bn in (1024, 512, 256, 128):
+        if n % bn:
+            continue
+        vmem = (
+            fixed
+            + 2 * bn * c * itemsize       # x block (double-buffered)
+            + bn * c * 4                  # fp32 normalized tile
+            + 3 * bn * f * itemsize       # out blocks
+            + bn * f * 4                  # fp32 dot accumulator
+        )
+        if vmem <= budget:
+            return bn
+    return None
+
+
+def ln_gemm3_supported(x: Array, f: int) -> bool:
+    b, n, c = x.shape
+    itemsize = 2 if x.dtype == jnp.bfloat16 else 4
+    return (
+        jax.default_backend() == "tpu"
+        and n % 128 == 0
+        and c % 8 == 0
+        and f % 8 == 0
+        and _ln_gemm3_block_n(n, c, f, itemsize) is not None
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def ln_gemm3(x: Array, scale: Array, bias: Array,
+             wq: Array, wk: Array, wv: Array, eps: float = 1e-5):
+    """LayerNorm(x) then three projections sharing the normalized input:
+    returns (LN(x)@wq, LN(x)@wk, LN(x)@wv) as compact (B, N, F) arrays.
+    One HBM read of x; the normalized activation never leaves VMEM."""
+    return _ln_gemm3_fwd_impl(x, scale, bias, wq, wk, wv, eps)
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _ln_gemm3_fwd_impl(x, scale, bias, wq, wk, wv, eps):
+    b, n, c = x.shape
+    f = wq.shape[-1]
+    dtype = x.dtype
+    itemsize = 2 if dtype == jnp.bfloat16 else 4
+
+    s = scale.reshape(1, c)
+    bb = bias.reshape(1, c)
+
+    block_n = _ln_gemm3_block_n(n, c, f, itemsize)
+    assert block_n is not None, (n, c, f)  # callers gate on ln_gemm3_supported
+    grid = (b, n // block_n)
+
+    precision = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    out_sds = jax.ShapeDtypeStruct((b, n, f), dtype)
+    w_spec = pl.BlockSpec((c, f), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, block_n, f), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_gemm3_kernel, eps=eps, precision=precision),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_n, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            w_spec, w_spec, w_spec,
+        ],
+        out_specs=[o_spec, o_spec, o_spec],
+        out_shape=[out_sds, out_sds, out_sds],
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * b * n * c * 3 * f),
+            bytes_accessed=int((b * n * c + 3 * b * n * f + 3 * c * f) * itemsize),
+            transcendentals=0,
+        ),
+    )(x, s, bb, wq.astype(dtype), wk.astype(dtype), wv.astype(dtype))
+
+
+def ln_gemm3_ref(x, scale, bias, wq, wk, wv, eps: float = 1e-5):
+    dtype = x.dtype
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    xn = _ln_ref(x, scale, bias, eps)
+    return (jnp.matmul(xn, wq.astype(dtype), precision=prec),
+            jnp.matmul(xn, wk.astype(dtype), precision=prec),
+            jnp.matmul(xn, wv.astype(dtype), precision=prec))
+
+
+def _ln_gemm3_fwd(x, scale, bias, wq, wk, wv, eps):
+    return _ln_gemm3_fwd_impl(x, scale, bias, wq, wk, wv, eps), (x, scale, bias, wq, wk, wv)
+
+
+def _ln_gemm3_bwd(eps, res, g):
+    x, scale, bias, wq, wk, wv = res
+    _, vjp = jax.vjp(
+        lambda xx, ss, bb, q, k, v: ln_gemm3_ref(xx, ss, bb, q, k, v, eps),
+        x, scale, bias, wq, wk, wv,
+    )
+    return vjp(g)
+
+
+ln_gemm3.defvjp(_ln_gemm3_fwd, _ln_gemm3_bwd)
 
 
 def _ln_ref(x, scale, bias, eps):
