@@ -453,8 +453,9 @@ def _main():
             "value": FLOOR_DEFAULT_SCOPE,
             "note": (
                 "composed per-op floor for this scope on one v5e chip "
-                "(ROOFLINE.md): remaining gap is lane-occupancy structure at "
-                "C=320/640 + LN bytes"
+                "(ROOFLINE.md): remaining gap is HBM-bound transformer glue "
+                "that measurably resists fusion (round-5 glue_fusion_probe: "
+                "fused qkv 2.1x slower, Pallas LN-fusions lose to XLA)"
             ),
         }
     elif mode == "test_parity":

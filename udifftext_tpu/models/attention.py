@@ -123,15 +123,15 @@ def _ln_f32(x: Array, scale: Array, bias: Array, eps: float = 1e-5) -> Array:
 class SelfAttention(nn.Module):
     """Fused multi-head self-attention (no map capture).
 
-    The q/k/v projections share the input, so with `fuse_qkv` (default) their
-    kernels are concatenated at APPLY time into one (C, 3·inner) GEMM — at
-    C=320 a separate projection occupies only 2.5 of the MXU's 128 output
-    lanes per pass; the fused 960-wide GEMM occupies 7.5 (round-4 verdict /
-    ROOFLINE transformer-glue residual). The parameter tree is unchanged
-    (to_q/to_k/to_v kernels), so torch converters are untouched, and the
-    concatenation is scan-invariant (XLA hoists it out of sampling loops).
-    Columns of a matmul are independent, so the fused result is bit-exact
-    with the separate GEMMs at equal precision."""
+    The SHIPPED path runs q/k/v as three separate GEMMs: the round-5
+    glue-fusion probe measured three 320-wide GEMMs 2.1× FASTER than one
+    fused 320→960 GEMM at these shapes (the ops are HBM-bound, not
+    MXU-lane-bound), and an apply-time kernel concat regressed the
+    end-to-end bench via strided-split copies (scripts/glue_fusion_probe.py,
+    ROOFLINE.md round 5). A fused LN→qkv Pallas kernel with COMPACT outputs
+    (ops/ln_gemm.ln_gemm3) remains behind `fuse_qkv` + `ln` for A/B use;
+    the parameter tree (to_q/to_k/to_v kernels) is identical either way, so
+    torch converters are untouched."""
 
     heads: int
     dim_head: int
