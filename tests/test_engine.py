@@ -367,3 +367,40 @@ def test_conditioner_uc_reuses_concat(engine_and_params):
     assert uc["concat"] is c["concat"]
     assert float(jnp.max(jnp.abs(uc["t_crossattn"]))) == 0.0
     assert float(jnp.max(jnp.abs(c["t_crossattn"]))) > 0.0
+
+
+def test_jitted_predictor_adaptive_noise_search_rows():
+    """noise_search_batched is decided PER TRACE: batched while
+    noise_iters * B <= noise_search_max_rows, sequential beyond (the stacked
+    candidates' UNet batch outgrows HBM at saturated serving buckets for no
+    latency benefit — round-5 verdict item 2 memory validation)."""
+    import numpy as np
+
+    from udifftext_tpu.predict import JittedPredictor
+
+    seen = {}
+
+    class _StubEngine:
+        general_conditioner = None
+
+        def sample(self, params, arr_batch, rng, *, noise_search_batched,
+                   **kw):
+            b = arr_batch["image"].shape[0]
+            seen[b] = noise_search_batched
+            return jnp.zeros((b, 8, 8, 3)), {}
+
+    pred = JittedPredictor(
+        _StubEngine(), num_steps=2, noise_iters=10,
+        noise_search_batched=True, noise_search_max_rows=128,
+    )
+    for b in (1, 8, 16):
+        pred({}, {"image": np.zeros((b, 8, 8, 3), np.float32)},
+             jax.random.PRNGKey(0))
+    assert seen == {1: True, 8: True, 16: False}  # 10/80 rows <= 128 < 160
+
+    # the flag off means sequential everywhere regardless of rows
+    seen.clear()
+    pred_off = JittedPredictor(_StubEngine(), num_steps=2, noise_iters=10)
+    pred_off({}, {"image": np.zeros((1, 8, 8, 3), np.float32)},
+             jax.random.PRNGKey(0))
+    assert seen == {1: False}

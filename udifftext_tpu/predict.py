@@ -40,6 +40,7 @@ class JittedPredictor:
         ckpt_id: Optional[str] = None,
         min_quality_psnr: Optional[float] = None,
         noise_search_batched: bool = False,
+        noise_search_max_rows: int = 128,
     ):
         self.engine = engine
         self.num_steps = int(num_steps)
@@ -47,8 +48,18 @@ class JittedPredictor:
         self.noise_iters = int(noise_iters)
         # exact candidate-batched init-noise search (engine.get_init_noise):
         # 2 UNet evals at batch noise_iters*B instead of 2*noise_iters at B —
-        # the latency-oriented choice for small serving batches
+        # the latency-oriented choice for small serving batches. The choice is
+        # made PER TRACE (each batch-shape signature compiles its own
+        # executable): batched only while noise_iters*B stays within
+        # `noise_search_max_rows` — beyond that the stacked candidates' UNet
+        # batch (2*rows after CFG doubling, plus captured attention maps)
+        # outgrows HBM for no latency benefit (the search is a wash at
+        # saturated batch; see engine.get_init_noise). The default 128 keeps
+        # the measured round-4 serving points (bucket 1 → 10 rows, bucket 8 →
+        # 80 rows) batched and drops bucket 16 (160 rows) to the sequential
+        # scan, whose memory is independent of noise_iters.
         self.noise_search_batched = bool(noise_search_batched)
+        self.noise_search_max_rows = int(noise_search_max_rows)
         self.aae_enabled = bool(aae_enabled)
         self.detailed = bool(detailed)
         self.encprop_interval = int(encprop_interval)
@@ -78,6 +89,11 @@ class JittedPredictor:
         def raw(params, arr_batch, rng):
             # runs only while tracing — counts compilations per shape signature
             self.n_compiles += 1
+            b = next(iter(arr_batch.values())).shape[0]
+            batched = (
+                self.noise_search_batched
+                and self.noise_iters * b <= self.noise_search_max_rows
+            )
             return engine.sample(
                 params,
                 arr_batch,
@@ -89,7 +105,7 @@ class JittedPredictor:
                 detailed=self.detailed,
                 encprop_interval=self.encprop_interval,
                 encprop_pregated=True,  # gated once at predictor construction
-                noise_search_batched=self.noise_search_batched,
+                noise_search_batched=batched,
             )
 
         if mesh is not None:
