@@ -7,7 +7,8 @@ bytes — but that re-pricing was analytic. This probe measures the standard
 remedies directly, at the exact shapes the sampling scan runs:
 
   A. self-attn q/k/v: 3 separate GEMMs vs one fused (C, 3C) GEMM
-     (models/attention.py fuse_qkv flag — the round-5 default is fused)
+     (models/attention.py fuse_qkv flag; the measured outcome shipped the
+     SEPARATE GEMMs — see ROOFLINE.md round 5)
   B. the full BasicTransformerBlock with fuse_qkv on/off
   C. LayerNorm alone (the bytes the "LN fusion" idea could save)
   D. bare GEMM shapes: (N,320)x(320,320) x3 vs (N,320)x(320,960)

@@ -74,8 +74,13 @@ def build_service(max_batch: int, steps: int, noise_iters: int, max_delay_ms: fl
         images, _ = predictor(params, arr_batch, jax.random.fold_in(base_key, key))
         return np.asarray(images)
 
-    return InpaintService(run, max_batch=max_batch, max_delay_ms=max_delay_ms,
-                          batch_buckets=buckets, dp=dp)
+    def make(delay_ms: float) -> InpaintService:
+        # services share `run` (one JittedPredictor -> one executable per
+        # bucket); only the coalescing deadline differs
+        return InpaintService(run, max_batch=max_batch, max_delay_ms=delay_ms,
+                              batch_buckets=buckets, dp=dp)
+
+    return make(max_delay_ms), make
 
 
 def _request():
@@ -107,12 +112,16 @@ def main():
                         "lone latency requests then run at bucket 1")
     p.add_argument("--noise-search-batched", action="store_true",
                    help="candidate-batched (exact) init-noise search")
+    p.add_argument("--saturated-delay-ms", type=float, default=2000.0,
+                   help="coalescing deadline for the saturated phase only — "
+                        "long enough that the submit loop fills full groups "
+                        "(the latency phase keeps --max-delay-ms)")
     args = p.parse_args()
 
     from udifftext_tpu.utils.profiling import enable_persistent_cache
 
     enable_persistent_cache()
-    service = build_service(
+    service, make_service = build_service(
         args.max_batch, args.steps, args.noise_iters, args.max_delay_ms,
         buckets=args.buckets, noise_search_batched=args.noise_search_batched,
         dp=args.dp,
@@ -125,13 +134,21 @@ def main():
     compile_s = time.perf_counter() - t0
 
     # -- 1. saturated throughput --------------------------------------------
+    # Measured on a SEPARATE service (same predictor, same executables) with
+    # a long coalescing deadline: the submit loop builds rows at host speed,
+    # and a 50 ms deadline dispatches partial groups padded to the full
+    # bucket — round-5 measured mean batch 5.5/16, i.e. ~3x padded waste —
+    # which measures the deadline, not the server's capacity ceiling.
+    sat_service = make_service(args.saturated_delay_ms)
     n = args.batches * args.max_batch
     t0 = time.perf_counter()
-    futures = [service.submit(req) for _ in range(n)]
+    futures = [sat_service.submit(req) for _ in range(n)]
     for f in futures:
         f.result(timeout=1200)
     saturated_dt = time.perf_counter() - t0
     saturated_sps = n / saturated_dt
+    sat_stats = sat_service.stats()
+    sat_service.shutdown()
 
     # -- 2. low-QPS end-to-end latency --------------------------------------
     lat = []
@@ -169,6 +186,7 @@ def main():
         "noise_search_batched": bool(args.noise_search_batched),
         "compile_s": round(compile_s, 1),
         "batcher_stats": stats,
+        "saturated_batcher_stats": sat_stats,
     }))
 
 

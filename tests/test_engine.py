@@ -404,3 +404,46 @@ def test_jitted_predictor_adaptive_noise_search_rows():
     pred_off({}, {"image": np.zeros((1, 8, 8, 3), np.float32)},
              jax.random.PRNGKey(0))
     assert seen == {1: False}
+
+
+def test_jitted_predictor_uint8_wire_format():
+    """A uint8 `image` opts into device-side preprocessing: the engine must
+    see exactly the math InpaintService's host path used to do (u8/127.5-1,
+    mask>0, masked = image*(1-mask)) and the output returns as uint8
+    (clip*255), cutting wire traffic ~7x each way (round-5 serving work)."""
+    import numpy as np
+
+    from udifftext_tpu.predict import JittedPredictor
+
+    class _StubEngine:
+        general_conditioner = None
+
+        def sample(self, params, arr_batch, rng, **kw):
+            # echo the (preprocessed) batch back through the jit as aux so
+            # the test can inspect concrete values, not tracers
+            return arr_batch["image"] * 0.5 + 0.5, dict(arr_batch)
+
+    pred = JittedPredictor(_StubEngine(), num_steps=2, noise_iters=0)
+    rng = np.random.RandomState(0)
+    img_u8 = rng.randint(0, 256, (2, 8, 8, 3), np.uint8)
+    mask_u8 = (rng.rand(2, 8, 8, 1) > 0.5).astype(np.uint8) * 255
+    out, seen = pred({}, {"image": img_u8, "mask": mask_u8},
+                     jax.random.PRNGKey(0))
+
+    img_f = img_u8.astype(np.float32) / 127.5 - 1.0
+    mask_f = (mask_u8 > 0).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(seen["image"]), img_f,
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(seen["mask"]), mask_f)
+    np.testing.assert_allclose(
+        np.asarray(seen["masked"]), img_f * (1.0 - mask_f), rtol=1e-5, atol=1e-6
+    )
+    assert out.dtype == jnp.uint8
+    expect = (np.clip(img_f * 0.5 + 0.5, 0.0, 1.0) * 255.0).astype(np.uint8)
+    # +-1 at the truncation boundary: device float reassociation vs host
+    assert np.max(np.abs(np.asarray(out).astype(int) - expect.astype(int))) <= 1
+
+    # float batches stay float (test.py / demo.py path untouched)
+    out_f, _ = pred({}, {"image": img_f, "mask": mask_f},
+                    jax.random.PRNGKey(0))
+    assert out_f.dtype == jnp.float32

@@ -141,9 +141,12 @@ def test_shutdown_rejects_new_requests():
 def _fake_predictor(max_batch, size, shapes_seen):
     def predict(arr_batch, key):
         shapes_seen.append({k: v.shape for k, v in arr_batch.items()})
+        # uint8 wire format: the service ships raw uint8 image/mask; the
+        # predictor normalizes and synthesizes `masked` on-device
         assert arr_batch["image"].shape == (max_batch, size, size, 3)
+        assert arr_batch["image"].dtype == np.uint8
         assert arr_batch["mask"].shape == (max_batch, size, size, 1)
-        assert arr_batch["masked"].shape == (max_batch, size, size, 3)
+        assert arr_batch["mask"].dtype == np.uint8
         assert arr_batch["seg_mask"].shape == (max_batch, 12)
         assert arr_batch["label_ids"].shape == (max_batch, 12)
         # per-row identifiable output: row index / 255 as a constant image

@@ -94,7 +94,29 @@ class JittedPredictor:
                 self.noise_search_batched
                 and self.noise_iters * b <= self.noise_search_max_rows
             )
-            return engine.sample(
+            # uint8 wire format (serving): over a tunneled device link the
+            # host->device transfer of fp32 image tensors dominates a batched
+            # dispatch (~170 MB/group at bucket 16, measured ~6 s of the
+            # 19.5 s model call — scripts/serve_bench.py round 5). A uint8
+            # `image` opts into device-side preprocessing: normalization,
+            # mask binarization, and `masked` synthesis all run INSIDE the
+            # compiled program (bit-identical math to InpaintService's host
+            # path), and the decoded images return as uint8 (the clip*255
+            # serving does on the host anyway) — 7x less wire traffic each
+            # way. Float batches (test.py / demo.py) are untouched.
+            uint8_in = (
+                "image" in arr_batch and arr_batch["image"].dtype == jnp.uint8
+            )
+            if uint8_in:
+                arr_batch = dict(arr_batch)
+                img = arr_batch["image"].astype(jnp.float32) / 127.5 - 1.0
+                mask = (arr_batch["mask"] > 0).astype(jnp.float32)
+                if mask.ndim == img.ndim - 1:
+                    mask = mask[..., None]
+                arr_batch["image"] = img
+                arr_batch["mask"] = mask
+                arr_batch["masked"] = img * (1.0 - mask)
+            images, aux = engine.sample(
                 params,
                 arr_batch,
                 rng,
@@ -107,6 +129,9 @@ class JittedPredictor:
                 encprop_pregated=True,  # gated once at predictor construction
                 noise_search_batched=batched,
             )
+            if uint8_in:
+                images = (jnp.clip(images, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+            return images, aux
 
         if mesh is not None:
             # multi-chip eval (reference scope is single-GPU test.py): batch

@@ -308,21 +308,26 @@ class InpaintService:
                 f"text must be 1..{self.seq_len} characters, got {req.text!r}"
             )
         s = self.size
+        # uint8 wire format: normalization, binarization, and `masked`
+        # synthesis happen INSIDE the jitted program (JittedPredictor's
+        # device-side preprocessing — identical math to the previous host
+        # path: u8/127.5-1 and mask>0). Over a tunneled device link this is
+        # 7x less host->device traffic per group, the dominant serving cost
+        # after batching (measured round 5, scripts/serve_bench.py).
         img = np.asarray(
             Image.fromarray(np.asarray(req.image, np.uint8)).resize((s, s)),
-            np.float32,
-        ) / 127.5 - 1.0
+            np.uint8,
+        )
         mask = np.asarray(
             Image.fromarray((np.asarray(req.mask) > 0).astype(np.uint8) * 255)
             .resize((s, s), Image.NEAREST),
-            np.float32,
-        )[..., None] / 255.0
+            np.uint8,
+        )[..., None]
         seg_mask = np.zeros((self.seq_len,), np.float32)
         seg_mask[: len(req.text)] = 1.0
         return {
             "image": img,
             "mask": mask,
-            "masked": img * (1.0 - mask),
             "seg_mask": seg_mask,
             "label_ids": np.asarray(encode_label(req.text, self.seq_len)),
         }
@@ -346,9 +351,11 @@ class InpaintService:
             raise RuntimeError(
                 f"predictor returned batch {images.shape[0]}, expected {bucket}"
             )
+        if images.dtype != np.uint8:  # float [0,1] from a non-uint8 predictor
+            images = (np.clip(images, 0.0, 1.0) * 255).astype(np.uint8)
         return [
             {
-                "image": (np.clip(images[i], 0.0, 1.0) * 255).astype(np.uint8),
+                "image": images[i],
                 "batch_key": key,
                 "row": i,
                 "batch_size": bucket,
