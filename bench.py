@@ -39,6 +39,25 @@ N_WINDOWS = 3  # independent timing windows; headline = max, median also emitted
 FLOOR_DEFAULT_SCOPE = 1.86
 FLOOR_TEST_PARITY_SCOPE = 1.22
 
+FLOOR_DEFAULT_JSON = {
+    "value": FLOOR_DEFAULT_SCOPE,
+    "note": (
+        "composed per-op floor for this scope on one v5e chip "
+        "(ROOFLINE.md): remaining gap is HBM-bound transformer glue "
+        "that measurably resists fusion (round-5 glue_fusion_probe: "
+        "fused qkv 2.1x slower, Pallas LN-fusions lose to XLA)"
+    ),
+}
+FLOOR_TEST_PARITY_JSON = {
+    "value": FLOOR_TEST_PARITY_SCOPE,
+    "note": (
+        "composed per-op floor of the full test.py scope "
+        "(ROOFLINE.md round-4 addendum) — the 2.0 north star is "
+        "unreachable in this scope on one chip: the 10-iter noise "
+        "search alone is 20 CFG-doubled UNet rollout evals"
+    ),
+}
+
 
 def _timed_windows(sample_sum, rng, batch_size: int, n_iters: int = 5):
     """Rates from N_WINDOWS independent n_iters-iteration windows.
@@ -448,27 +467,10 @@ def _main():
         "agg": "max",
         "median": round(float(np.median(rates)), 4),
     }
+    if mode == "test_parity":
+        out["floor"] = dict(FLOOR_TEST_PARITY_JSON)
     if mode == "":
-        out["floor"] = {
-            "value": FLOOR_DEFAULT_SCOPE,
-            "note": (
-                "composed per-op floor for this scope on one v5e chip "
-                "(ROOFLINE.md): remaining gap is HBM-bound transformer glue "
-                "that measurably resists fusion (round-5 glue_fusion_probe: "
-                "fused qkv 2.1x slower, Pallas LN-fusions lose to XLA)"
-            ),
-        }
-    elif mode == "test_parity":
-        out["floor"] = {
-            "value": FLOOR_TEST_PARITY_SCOPE,
-            "note": (
-                "composed per-op floor of the full test.py scope "
-                "(ROOFLINE.md round-4 addendum) — the 2.0 north star is "
-                "unreachable in this scope on one chip: the 10-iter noise "
-                "search alone is 20 CFG-doubled UNet rollout evals"
-            ),
-        }
-    if mode == "":
+        out["floor"] = dict(FLOOR_DEFAULT_JSON)
         # every default round also records the HONEST end-to-end scope (the
         # full test.py flow: conditioner + 10-iter init-noise search +
         # sampling + fp32 VAE decode) so the headline number can never drift
@@ -493,15 +495,7 @@ def _main():
                 "value": round(tp_sps, 4),
                 "vs_baseline": round(tp_sps / BASELINE_SAMPLES_PER_SEC, 4),
                 "median": round(float(np.median(tp_rates)), 4),
-                "floor": {
-                    "value": FLOOR_TEST_PARITY_SCOPE,
-                    "note": (
-                        "composed per-op floor of this scope (ROOFLINE.md "
-                        "round-4 addendum): 2.0 north star unreachable here "
-                        "— the 10-iter noise search alone is 20 CFG-doubled "
-                        "UNet rollout evals"
-                    ),
-                },
+                "floor": dict(FLOOR_TEST_PARITY_JSON),
                 "scope": (
                     "full test.py predict pipeline: conditioner + 10-iter "
                     "init-noise search + 50-step CFG Euler-EDM + fp32 VAE "

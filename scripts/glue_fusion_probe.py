@@ -104,7 +104,9 @@ def main():
 
         # F. LN+GEMM: XLA (LN then fused qkv GEMM) vs the Pallas ln_gemm
         # kernel that keeps the normalized block in VMEM
-        from udifftext_tpu.ops.ln_gemm import ln_gemm
+        from udifftext_tpu.ops.ln_gemm import ln_gemm, ln_gemm_supported
+
+        assert ln_gemm_supported(x, w3), (x.shape, w3.shape)
 
         sc = jnp.ones((c,), jnp.float32)
         bi = jnp.zeros((c,), jnp.float32)

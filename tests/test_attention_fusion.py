@@ -117,3 +117,39 @@ def test_block_fused_glue_capture_falls_back():
     v = (ctx @ kp["to_v"]["Dense_0"]["kernel"]).reshape(2, 12, 4, 8)
     _, t_map = fused.apply(p, x, ctx, None, True, {"t": (k, v)})
     assert t_map is not None and t_map.shape == (2, 4, 128, 12)
+
+
+def test_cross_attention_fused_branch_keeps_single_token_sigmoid():
+    """A 1-token context uses SIGMOID attention (reference attention.py
+    single-token branch); the fused ln+kv branch is softmax-only, so L == 1
+    must fall back to the plain path — fused-branch args and the manual
+    LN -> sigmoid composition must agree (round-5 review finding)."""
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 40))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 16))
+    attn = CrossAttention(heads=4, dim_head=8)
+    params = attn.init(rng, x, ctx)
+    p = jax.tree.map(lambda a: a + 0.01, params)  # nonzero to_out
+
+    kp = p["params"]
+    k = (ctx @ kp["to_k"]["Dense_0"]["kernel"]).reshape(2, 1, 4, 8)
+    v = (ctx @ kp["to_v"]["Dense_0"]["kernel"]).reshape(2, 1, 4, 8)
+    ln_scale = jnp.ones((40,)) * 1.1
+    ln_bias = jnp.ones((40,)) * 0.05
+
+    # fused-contract call (ln + hoisted kv, no capture): returns x + branch
+    out_fused, _ = attn.apply(p, x, ctx, False, kv=(k, v),
+                              ln=(ln_scale, ln_bias))
+
+    # manual plain composition with the same LN
+    from udifftext_tpu.models.attention import _ln_f32
+
+    xn = _ln_f32(x, ln_scale, ln_bias)
+    out_plain, _ = attn.apply(p, xn, ctx, False, kv=(k, v))
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(x + out_plain), rtol=1e-5, atol=1e-5
+    )
+    # and the result genuinely uses sigmoid: it must differ from a softmax
+    # (constant-1.0) weighting of v
+    _, m = attn.apply(p, xn, ctx, True, kv=(k, v))
+    assert m is not None and float(jnp.max(jnp.abs(m - 1.0))) > 1e-3

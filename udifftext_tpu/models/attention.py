@@ -109,15 +109,12 @@ class _LNParamsInner(nn.Module):
 
 
 def _ln_f32(x: Array, scale: Array, bias: Array, eps: float = 1e-5) -> Array:
-    """Functional LayerNorm with fp32 centered stats — the math the Pallas
-    fused kernels use (ops/ln_gemm.py), applied when a fused branch falls
-    back to XLA."""
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    xc = xf - mean
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    y = xc * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    return y.astype(x.dtype)
+    """Functional LayerNorm with fp32 centered stats — delegates to the one
+    canonical implementation (ops/ln_gemm.ln_ref_f32) so the fused kernels'
+    reference math can never drift from the XLA fallback's."""
+    from ..ops.ln_gemm import ln_ref_f32
+
+    return ln_ref_f32(x, scale, bias, eps)
 
 
 class SelfAttention(nn.Module):
@@ -137,7 +134,15 @@ class SelfAttention(nn.Module):
     dim_head: int
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
-    fuse_qkv: bool = True
+    # fuse_qkv=True concatenates the to_q/to_k/to_v kernels at apply time
+    # into one (C, 3·inner) GEMM (+ compacting split); with `ln` it instead
+    # runs the Pallas ln_gemm3 kernel (compact outputs). DEFAULT OFF: the
+    # round-5 probe measured the concat 2.1× SLOWER than three separate
+    # 320-wide GEMMs (HBM-bound, not lane-bound) and the end-to-end bench
+    # regressed 1.72 → 1.57 via the strided-split copies. The flag stays as
+    # the A/B hook that keeps that evidence reproducible
+    # (scripts/glue_fusion_probe.py sections A/B).
+    fuse_qkv: bool = False
 
     @nn.compact
     def __call__(self, x: Array, ln: Optional[Tuple[Array, Array]] = None) -> Array:
@@ -145,13 +150,7 @@ class SelfAttention(nn.Module):
         (un-normalized) input: the LayerNorm is fused into the qkv projection
         (Pallas ln_gemm3 on TPU — the normalized activation never round-trips
         HBM and q/k/v come back as COMPACT buffers; XLA fallback applies the
-        same fp32-stats LN then separate projections).
-
-        Round-5 measurement note: a plain XLA concat-GEMM ("one 320→960
-        matmul + jnp.split") REGRESSED the step — the split views are strided
-        and XLA copies them into compact buffers before the flash kernel, so
-        the XLA path keeps three separate GEMMs and the wide-GEMM win lives
-        only in the Pallas kernel, whose three outputs are compact."""
+        same fp32-stats LN then separate projections)."""
         inner = self.heads * self.dim_head
         b, n, c = x.shape
         use_ln_kernel = False
@@ -164,6 +163,22 @@ class SelfAttention(nn.Module):
             wk = _KernelParams(inner, c, name="to_k")()
             wv = _KernelParams(inner, c, name="to_v")()
             q, k, v = ln_gemm3(x.astype(self.dtype), ln[0], ln[1], wq, wk, wv)
+        elif self.fuse_qkv:
+            # XLA concat-qkv (the probe's section-A subject): one wide GEMM,
+            # then a split whose strided views XLA compacts with copies
+            if ln is not None:
+                x = _ln_f32(x.astype(self.dtype), ln[0], ln[1])
+            wq = _KernelParams(inner, c, name="to_q")()
+            wk = _KernelParams(inner, c, name="to_k")()
+            wv = _KernelParams(inner, c, name="to_v")()
+            w = jnp.concatenate(
+                [wq.astype(self.dtype), wk.astype(self.dtype), wv.astype(self.dtype)],
+                axis=1,
+            )
+            qkv = jnp.matmul(
+                x.astype(self.dtype), w, precision=matmul_precision(self.dtype)
+            )
+            q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             if ln is not None:
                 x = _ln_f32(x.astype(self.dtype), ln[0], ln[1])
@@ -215,7 +230,10 @@ class CrossAttention(nn.Module):
         b, n, _ = x.shape
         scale = self.dim_head**-0.5
 
-        if ln is not None and kv is not None and not capture_map:
+        # the fused branch is softmax-only: a SINGLE-token context uses
+        # sigmoid attention (reference attention.py:160-163 — see below), so
+        # L == 1 must keep the plain path regardless of fuse_glue
+        if ln is not None and kv is not None and not capture_map and kv[0].shape[1] > 1:
             if context is not None:
                 # keep to_k/to_v in the tree (the hoist reads them)
                 _KernelParams(inner, context.shape[-1], name="to_k")()
@@ -385,7 +403,9 @@ class BasicTransformerBlock(nn.Module):
     v_context_dim: Optional[int] = None
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
-    fuse_qkv: bool = True  # A/B hook for scripts/glue_fusion_probe.py
+    # A/B hook for scripts/glue_fusion_probe.py — True routes SelfAttention
+    # through the concat-qkv GEMM (measured slower; see SelfAttention)
+    fuse_qkv: bool = False
     # "auto" | "off" | "force" — LN-into-consumer fusion ("force" takes the
     # fused branch regardless of backend; off-TPU the ops' XLA reference
     # fallbacks run, which makes the branch CPU-testable).

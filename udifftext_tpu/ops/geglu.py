@@ -272,18 +272,11 @@ def _geglu_ln_fwd_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, block_n=512):
     )(x, s, bb, w1h, b1h, w1g, b1g, w2c, b2r)
 
 
-def _ln_ref_f32(x, scale, bias, eps=1e-5):
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    xc = xf - mean
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    y = xc * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    return y.astype(x.dtype)
-
-
 def geglu_ff_ln_ref(x, ln_scale, ln_bias, w1, b1, w2, b2):
     """XLA reference: LN then the exact-gelu GEGLU composition."""
-    return _geglu_ref(_ln_ref_f32(x, ln_scale, ln_bias), w1, b1, w2, b2)
+    from .ln_gemm import ln_ref_f32
+
+    return _geglu_ref(ln_ref_f32(x, ln_scale, ln_bias), w1, b1, w2, b2)
 
 
 def _geglu_ln_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, block_n):

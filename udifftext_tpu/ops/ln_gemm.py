@@ -245,7 +245,7 @@ def _ln_gemm3_fwd_impl(x, scale, bias, wq, wk, wv, eps):
 def ln_gemm3_ref(x, scale, bias, wq, wk, wv, eps: float = 1e-5):
     dtype = x.dtype
     prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
-    xn = _ln_ref(x, scale, bias, eps)
+    xn = ln_ref_f32(x, scale, bias, eps)
     return (jnp.matmul(xn, wq.astype(dtype), precision=prec),
             jnp.matmul(xn, wk.astype(dtype), precision=prec),
             jnp.matmul(xn, wv.astype(dtype), precision=prec))
@@ -267,7 +267,10 @@ def _ln_gemm3_bwd(eps, res, g):
 ln_gemm3.defvjp(_ln_gemm3_fwd, _ln_gemm3_bwd)
 
 
-def _ln_ref(x, scale, bias, eps):
+def ln_ref_f32(x, scale, bias, eps: float = 1e-5):
+    """Canonical fp32-centered-stats LayerNorm reference — the math every
+    fused kernel's prologue and XLA fallback in this package must match
+    (models/attention.py, ops/geglu.py import THIS; do not re-implement)."""
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     xc = xf - mean
@@ -280,7 +283,7 @@ def ln_gemm_ref(x, scale, bias, w, eps: float = 1e-5):
     """XLA reference path — identical math, used on CPU and for backward."""
     dtype = x.dtype
     prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
-    return jnp.matmul(_ln_ref(x, scale, bias, eps), w.astype(dtype), precision=prec)
+    return jnp.matmul(ln_ref_f32(x, scale, bias, eps), w.astype(dtype), precision=prec)
 
 
 def _ln_gemm_fwd(x, scale, bias, w, eps):

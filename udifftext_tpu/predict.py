@@ -164,6 +164,22 @@ class JittedPredictor:
                 f"batch carries none of the predictor's array keys "
                 f"{self.array_keys} — got {sorted(batch)}"
             )
+        if "image" in arr_batch and arr_batch["image"].dtype == jnp.uint8:
+            # uint8 wire format (serving): validate its contract HERE with a
+            # clear message rather than a KeyError inside the jit trace
+            if "mask" not in arr_batch:
+                raise ValueError(
+                    "uint8 wire format: a uint8 'image' requires a 'mask' — "
+                    "normalization and `masked` synthesis run on-device from "
+                    "(image, mask); send float arrays for the preprocessed "
+                    "path"
+                )
+            if "masked" in arr_batch:
+                raise ValueError(
+                    "uint8 wire format synthesizes 'masked' on-device from "
+                    "image*(1-mask); drop the 'masked' key (or send float "
+                    "image/mask/masked for the preprocessed path)"
+                )
         if self.mesh is not None:
             n_data = self.mesh.shape.get("data", 1)
             b = next(iter(arr_batch.values())).shape[0]

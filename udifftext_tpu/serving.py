@@ -355,7 +355,9 @@ class InpaintService:
             images = (np.clip(images, 0.0, 1.0) * 255).astype(np.uint8)
         return [
             {
-                "image": images[i],
+                # .copy(): a row VIEW would pin the whole (bucket, H, W, 3)
+                # batch array for as long as any client retains one image
+                "image": images[i].copy(),
                 "batch_key": key,
                 "row": i,
                 "batch_size": bucket,
