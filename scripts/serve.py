@@ -187,9 +187,12 @@ def build_service(args) -> InpaintService:
     )
     base_key = jax.random.PRNGKey(args.seed)
 
-    def run(arr_batch, key: int) -> np.ndarray:
+    def run(arr_batch, key: int):
+        # lazy jax.Array: a pipelined service (--pipeline > 1) overlaps the
+        # next group's assembly/transfer with this group's compute; the
+        # service's finalize stage materializes
         images, _ = predictor(params, arr_batch, jax.random.fold_in(base_key, key))
-        return np.asarray(images)
+        return images
 
     return InpaintService(
         run,
@@ -198,6 +201,7 @@ def build_service(args) -> InpaintService:
         size=int(cfgs.get("H", 512)),
         seq_len=int(cfgs.get("seq_len", 12)),
         batch_buckets=args.buckets,
+        pipeline_depth=args.pipeline,
         dp=args.dp,
     )
 
@@ -223,6 +227,9 @@ def main():
                         "batch over this many chips (a `data` mesh axis; "
                         "every bucket must be divisible by it)")
     p.add_argument("--max-delay-ms", type=float, default=50.0)
+    p.add_argument("--pipeline", type=int, default=1,
+                   help="pipeline depth: >1 overlaps the next group's host "
+                        "assembly + wire transfer with the chip's compute")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--scale", type=float, default=None)
     p.add_argument("--seed", type=int, default=0)

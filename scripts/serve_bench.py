@@ -40,7 +40,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_service(max_batch: int, steps: int, noise_iters: int, max_delay_ms: float,
-                  buckets=None, noise_search_batched: bool = False, dp: int = 1):
+                  buckets=None, noise_search_batched: bool = False, dp: int = 1,
+                  pipeline_depth: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -70,15 +71,19 @@ def build_service(max_batch: int, steps: int, noise_iters: int, max_delay_ms: fl
     )
     base_key = jax.random.PRNGKey(0)
 
-    def run(arr_batch, key: int) -> np.ndarray:
+    def run(arr_batch, key: int):
+        # returns the jax.Array LAZILY (dispatch is async) so a pipelined
+        # service can overlap the next group's assembly/transfer with this
+        # group's compute; InpaintService materializes in its finalize stage
         images, _ = predictor(params, arr_batch, jax.random.fold_in(base_key, key))
-        return np.asarray(images)
+        return images
 
     def make(delay_ms: float) -> InpaintService:
         # services share `run` (one JittedPredictor -> one executable per
         # bucket); only the coalescing deadline differs
         return InpaintService(run, max_batch=max_batch, max_delay_ms=delay_ms,
-                              batch_buckets=buckets, dp=dp)
+                              batch_buckets=buckets, dp=dp,
+                              pipeline_depth=pipeline_depth)
 
     return make(max_delay_ms), make
 
@@ -112,6 +117,10 @@ def main():
                         "lone latency requests then run at bucket 1")
     p.add_argument("--noise-search-batched", action="store_true",
                    help="candidate-batched (exact) init-noise search")
+    p.add_argument("--pipeline", type=int, default=1,
+                   help="pipeline depth: >1 overlaps the next group's host "
+                        "assembly + wire transfer with the chip's compute "
+                        "(InpaintService pipeline_depth)")
     p.add_argument("--saturated-delay-ms", type=float, default=2000.0,
                    help="coalescing deadline for the saturated phase only — "
                         "long enough that the submit loop fills full groups "
@@ -124,7 +133,7 @@ def main():
     service, make_service = build_service(
         args.max_batch, args.steps, args.noise_iters, args.max_delay_ms,
         buckets=args.buckets, noise_search_batched=args.noise_search_batched,
-        dp=args.dp,
+        dp=args.dp, pipeline_depth=args.pipeline,
     )
     req = _request()
 
@@ -184,6 +193,7 @@ def main():
         ),
         "buckets": list(service.batch_buckets),
         "noise_search_batched": bool(args.noise_search_batched),
+        "pipeline_depth": args.pipeline,
         "compile_s": round(compile_s, 1),
         "batcher_stats": stats,
         "saturated_batcher_stats": sat_stats,

@@ -390,3 +390,158 @@ def test_http_server_roundtrip():
     finally:
         httpd.shutdown()
         svc.shutdown()
+
+
+# -- pipelined dispatch (launch/finalize split) ------------------------------
+
+
+def test_pipelined_batcher_overlaps_launch_with_finalize():
+    """With finalize given and depth 2, the dispatcher may LAUNCH group N+1
+    while group N is still finalizing (the overlap that hides host work and
+    wire transfer behind device compute), and results still resolve in
+    dispatch order."""
+    import threading as _t
+
+    launches, finals = [], []
+    gate = _t.Event()
+
+    def launch(items):
+        launches.append((time.monotonic(), list(items)))
+        return list(items)
+
+    def finalize(handle):
+        if not finals:
+            gate.wait(5.0)  # hold group 0 in finalize until group 1 launched
+        finals.append(time.monotonic())
+        return [f"done-{i}" for i in handle]
+
+    mb = MicroBatcher(launch, max_batch=1, max_delay_ms=0.0,
+                      finalize=finalize, pipeline_depth=2)
+    f0 = mb.submit(0)
+    f1 = mb.submit(1)
+    # wait for BOTH launches, then open the gate
+    t0 = time.monotonic()
+    while len(launches) < 2 and time.monotonic() - t0 < 5.0:
+        time.sleep(0.005)
+    n_launched_while_finalizing = len(launches)
+    gate.set()
+    assert f0.result(timeout=10) == "done-0"
+    assert f1.result(timeout=10) == "done-1"
+    mb.shutdown()
+    # group 1 launched while group 0 sat in finalize -> true overlap
+    assert n_launched_while_finalizing == 2
+    st = mb.stats()
+    assert st["batches"] == 2 and st["errors"] == 0
+
+
+def test_pipelined_depth_one_serializes():
+    """pipeline_depth=1 must never launch group N+1 before group N finished
+    finalizing (the semaphore bound)."""
+    import threading as _t
+
+    active = []
+    overlap = []
+    lock = _t.Lock()
+
+    def launch(items):
+        with lock:
+            active.append(1)
+            overlap.append(sum(active))
+        return list(items)
+
+    def finalize(handle):
+        time.sleep(0.05)
+        with lock:
+            active.pop()
+        return ["ok" for _ in handle]
+
+    mb = MicroBatcher(launch, max_batch=1, max_delay_ms=0.0,
+                      finalize=finalize, pipeline_depth=1)
+    futs = [mb.submit(i) for i in range(4)]
+    assert all(f.result(timeout=10) == "ok" for f in futs)
+    mb.shutdown()
+    assert max(overlap) == 1  # never two groups in flight
+
+
+def test_pipelined_finalize_error_fails_only_its_group():
+    def launch(items):
+        return list(items)
+
+    def finalize(handle):
+        if handle[0] == "bad":
+            raise RuntimeError("boom in finalize")
+        return [f"ok-{x}" for x in handle]
+
+    mb = MicroBatcher(launch, max_batch=1, max_delay_ms=0.0,
+                      finalize=finalize, pipeline_depth=2)
+    good1 = mb.submit("a")
+    bad = mb.submit("bad")
+    good2 = mb.submit("b")
+    assert good1.result(timeout=10) == "ok-a"
+    with pytest.raises(RuntimeError, match="boom in finalize"):
+        bad.result(timeout=10)
+    assert good2.result(timeout=10) == "ok-b"
+    mb.shutdown()
+    assert mb.stats()["errors"] == 1
+
+
+def test_pipelined_launch_error_fails_only_its_group():
+    def launch(items):
+        if items[0] == "bad":
+            raise RuntimeError("boom in launch")
+        return list(items)
+
+    def finalize(handle):
+        return [f"ok-{x}" for x in handle]
+
+    mb = MicroBatcher(launch, max_batch=1, max_delay_ms=0.0,
+                      finalize=finalize, pipeline_depth=2)
+    bad = mb.submit("bad")
+    good = mb.submit("a")
+    with pytest.raises(RuntimeError, match="boom in launch"):
+        bad.result(timeout=10)
+    assert good.result(timeout=10) == "ok-a"
+    mb.shutdown()
+
+
+def test_inpaint_service_pipelined_end_to_end():
+    """InpaintService(pipeline_depth=2) over a LAZY fake predictor: per-row
+    results identical to the sync service's contract (row images, keys,
+    bucket bookkeeping), warmup works, shutdown drains."""
+    calls = []
+
+    def lazy_predictor(arr_batch, key):
+        b = arr_batch["image"].shape[0]
+        calls.append(b)
+
+        class _Lazy:
+            # materializes only under np.asarray — like a jax.Array
+            def __array__(self, dtype=None, copy=None):
+                out = np.zeros((b, 16, 16, 3), np.float32)
+                for i in range(b):
+                    out[i] = i / 255.0
+                return out
+
+            shape = (b, 16, 16, 3)
+
+        return _Lazy()
+
+    svc = InpaintService(lazy_predictor, max_batch=4, max_delay_ms=100.0,
+                         size=16, batch_buckets=(1, 4), pipeline_depth=2)
+    svc.warmup()
+    reqs = [
+        InpaintRequest(
+            image=np.full((8, 8, 3), 50, np.uint8),
+            mask=np.ones((8, 8), np.uint8),
+            text=f"t{i}",
+        )
+        for i in range(3)
+    ]
+    futs = [svc.submit(r) for r in reqs]
+    results = [f.result(timeout=20) for f in futs]
+    svc.shutdown()
+    for i, res in enumerate(results):
+        assert res["row"] == i
+        assert res["batch_size"] == 4
+        assert np.all(res["image"] == i)
+        assert res["image"].dtype == np.uint8

@@ -71,6 +71,17 @@ class MicroBatcher:
     max_delay_ms: how long the dispatcher waits for co-batchable requests
         after the FIRST request of a group arrives. 0 = dispatch immediately
         with whatever is queued.
+    finalize: optional second stage for PIPELINED dispatch. When given,
+        ``run_batch(items)`` is the LAUNCH — it should return quickly with an
+        in-flight handle (e.g. a lazily-materialized jax.Array: JAX dispatch
+        is asynchronous) — and ``finalize(handle)`` materializes it into the
+        per-item results on a dedicated completion thread. With
+        ``pipeline_depth`` N the dispatcher may launch up to N groups before
+        the oldest completes, overlapping host work (batch assembly, wire
+        transfer, row slicing, future resolution) with device compute.
+        Results still resolve in dispatch order (the completion queue is
+        FIFO) and an exception in either stage fails only its own group.
+    pipeline_depth: max in-flight groups when ``finalize`` is given.
     """
 
     def __init__(
@@ -79,10 +90,15 @@ class MicroBatcher:
         max_batch: int = 8,
         max_delay_ms: float = 50.0,
         queue_limit: int = 1024,
+        finalize: Optional[Callable[[Any], Sequence[Any]]] = None,
+        pipeline_depth: int = 2,
     ):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        if finalize is not None and pipeline_depth < 1:
+            raise ValueError(f"pipeline_depth must be >= 1, got {pipeline_depth}")
         self._run_batch = run_batch
+        self._finalize = finalize
         self.max_batch = int(max_batch)
         self.max_delay = float(max_delay_ms) / 1000.0
         self._queue: "queue.Queue" = queue.Queue(maxsize=queue_limit)
@@ -97,6 +113,17 @@ class MicroBatcher:
         # the two halves of end-to-end latency a capacity planner needs
         self._queue_waits: List[float] = []
         self._run_times: List[float] = []
+        self._completion_q: Optional["queue.Queue"] = None
+        self._completion_thread: Optional[threading.Thread] = None
+        self._inflight: Optional[threading.Semaphore] = None
+        if finalize is not None:
+            self._inflight = threading.Semaphore(int(pipeline_depth))
+            self._completion_q = queue.Queue()
+            self._completion_thread = threading.Thread(
+                target=self._completion_loop, name="microbatcher-complete",
+                daemon=True,
+            )
+            self._completion_thread.start()
         self._thread = threading.Thread(
             target=self._dispatch_loop, name="microbatcher", daemon=True
         )
@@ -126,6 +153,12 @@ class MicroBatcher:
         self._closed = True
         self._queue.put(None)  # wake the dispatcher
         self._thread.join(timeout=timeout)
+        if self._completion_thread is not None:
+            # the dispatcher has exited, so every launched group is already
+            # enqueued; the sentinel lands after them (FIFO) and the
+            # completion thread drains in order before exiting
+            self._completion_q.put(None)
+            self._completion_thread.join(timeout=timeout)
         self._drain_cancelled()  # anything that raced in after the final drain
 
     @staticmethod
@@ -192,6 +225,55 @@ class MicroBatcher:
             if entry is not None:
                 entry[1].set_exception(RuntimeError("MicroBatcher is shut down"))
 
+    def _record_group(self, n_items: int, waits: List[float], run_s: float) -> None:
+        with self._stats_lock:
+            self._n_batches += 1
+            self._batch_sizes.append(n_items)
+            self._queue_waits.extend(waits)
+            self._run_times.append(run_s)
+            for buf in (self._batch_sizes, self._queue_waits, self._run_times):
+                if len(buf) > 1000:
+                    del buf[:-100]
+
+    def _resolve_group(self, futures: List[Future], results: Sequence[Any],
+                       n_items: int, waits: List[float], t_dispatch: float) -> None:
+        if len(results) != n_items:
+            self._fail_group(
+                futures,
+                RuntimeError(
+                    f"run_batch returned {len(results)} results for "
+                    f"{n_items} items"
+                ),
+            )
+            return
+        self._record_group(n_items, waits, time.monotonic() - t_dispatch)
+        for fut, res in zip(futures, results):
+            fut.set_result(res)
+
+    def _fail_group(self, futures: List[Future], e: Exception) -> None:
+        with self._stats_lock:
+            self._n_errors += len(futures)
+        for fut in futures:
+            fut.set_exception(e)
+
+    def _completion_loop(self) -> None:
+        """Pipelined second stage: materialize handles in dispatch (FIFO)
+        order; each group's semaphore slot is released when it completes."""
+        while True:
+            entry = self._completion_q.get()
+            if entry is None:
+                return
+            handle, futures, n_items, waits, t_dispatch = entry
+            try:
+                try:
+                    results = self._finalize(handle)
+                except Exception as e:  # noqa: BLE001 — fail only this group
+                    self._fail_group(futures, e)
+                    continue
+                self._resolve_group(futures, results, n_items, waits, t_dispatch)
+            finally:
+                self._inflight.release()
+
     def _dispatch_loop(self) -> None:
         while True:
             group = self._collect_group()
@@ -202,30 +284,25 @@ class MicroBatcher:
             futures = [fut for _, fut, _ in group]
             t_dispatch = time.monotonic()
             waits = [t_dispatch - t_in for _, _, t_in in group]
+            if self._finalize is not None:
+                # pipelined: bound in-flight groups, launch, hand off
+                self._inflight.acquire()
+                try:
+                    handle = self._run_batch(items)
+                except Exception as e:  # noqa: BLE001
+                    self._inflight.release()
+                    self._fail_group(futures, e)
+                    continue
+                self._completion_q.put(
+                    (handle, futures, len(items), waits, t_dispatch)
+                )
+                continue
             try:
                 results = self._run_batch(items)
-                if len(results) != len(items):
-                    raise RuntimeError(
-                        f"run_batch returned {len(results)} results for "
-                        f"{len(items)} items"
-                    )
             except Exception as e:  # noqa: BLE001 — fail the group, keep serving
-                with self._stats_lock:
-                    self._n_errors += len(items)
-                for fut in futures:
-                    fut.set_exception(e)
+                self._fail_group(futures, e)
                 continue
-            run_s = time.monotonic() - t_dispatch
-            with self._stats_lock:
-                self._n_batches += 1
-                self._batch_sizes.append(len(items))
-                self._queue_waits.extend(waits)
-                self._run_times.append(run_s)
-                for buf in (self._batch_sizes, self._queue_waits, self._run_times):
-                    if len(buf) > 1000:
-                        del buf[:-100]
-            for fut, res in zip(futures, results):
-                fut.set_result(res)
+            self._resolve_group(futures, results, len(items), waits, t_dispatch)
 
 
 @dataclasses.dataclass
@@ -258,6 +335,7 @@ class InpaintService:
         seq_len: int = 12,
         batch_buckets: Optional[Sequence[int]] = None,
         dp: int = 1,
+        pipeline_depth: int = 1,
     ):
         self.predictor = predictor
         self.size = int(size)
@@ -292,9 +370,25 @@ class InpaintService:
             )
         self._key_counter = 0
         self._key_lock = threading.Lock()
-        self.batcher = MicroBatcher(
-            self._run_group, max_batch=max_batch, max_delay_ms=max_delay_ms
-        )
+        # pipeline_depth > 1 splits the model call into launch (asynchronous
+        # JAX dispatch: host assembly + host->device transfer of the NEXT
+        # group overlap the chip's compute on the current one) and finalize
+        # (device->host materialization + row slicing on a completion
+        # thread). The predictor callable must then return the images
+        # LAZILY (a jax.Array, not np.asarray'd) for the overlap to exist —
+        # a predictor that already materializes still works, it just
+        # pipelines nothing.
+        self.pipeline_depth = int(pipeline_depth)
+        if self.pipeline_depth > 1:
+            self.batcher = MicroBatcher(
+                self._launch_group, max_batch=max_batch,
+                max_delay_ms=max_delay_ms, finalize=self._finalize_group,
+                pipeline_depth=self.pipeline_depth,
+            )
+        else:
+            self.batcher = MicroBatcher(
+                self._run_group, max_batch=max_batch, max_delay_ms=max_delay_ms
+            )
 
     # -- request -> model-batch row ------------------------------------------
 
@@ -332,7 +426,8 @@ class InpaintService:
             "label_ids": np.asarray(encode_label(req.text, self.seq_len)),
         }
 
-    def _run_group(self, rows: List[Dict[str, np.ndarray]]) -> List[Dict[str, Any]]:
+    def _launch_group(self, rows: List[Dict[str, np.ndarray]]):
+        """Stage 1: pad, stack, and dispatch — returns an in-flight handle."""
         n_real = len(rows)
         # pad to the smallest bucket that fits, replicating the last row — XLA
         # sees one static (bucket, ...) signature per configured bucket
@@ -346,7 +441,12 @@ class InpaintService:
         with self._key_lock:
             key = self._key_counter
             self._key_counter += 1
-        images = np.asarray(self.predictor(arr_batch, key))
+        return self.predictor(arr_batch, key), key, bucket, n_real
+
+    def _finalize_group(self, handle) -> List[Dict[str, Any]]:
+        """Stage 2: materialize the images and slice the real rows out."""
+        images_lazy, key, bucket, n_real = handle
+        images = np.asarray(images_lazy)
         if images.shape[0] != bucket:
             raise RuntimeError(
                 f"predictor returned batch {images.shape[0]}, expected {bucket}"
@@ -364,6 +464,9 @@ class InpaintService:
             }
             for i in range(n_real)
         ]
+
+    def _run_group(self, rows: List[Dict[str, np.ndarray]]) -> List[Dict[str, Any]]:
+        return self._finalize_group(self._launch_group(rows))
 
     def warmup(self) -> None:
         """Compile every bucket's executable before serving traffic.
