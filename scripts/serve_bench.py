@@ -10,8 +10,9 @@ TPU dispatch — so it needs measured numbers, not just correctness tests
    server's capacity ceiling (compare with bench.py's raw pipeline number:
    the delta is the serving stack's overhead).
 2. low-QPS latency: submit requests one at a time at `--qps` (default 0.5);
-   each rides a group of 1 padded to max_batch. Reports p50/p95 end-to-end
-   latency (request-submit -> result), the number an interactive caller sees.
+   each rides a group of 1 padded to the smallest configured bucket. Reports
+   p50/p95 end-to-end latency (request-submit -> result), the number an
+   interactive caller sees.
 
 The reference analog is the one-request Gradio path
 (/root/reference/demo.py:39-116), which recompiles nothing but serves one
