@@ -545,3 +545,56 @@ def test_inpaint_service_pipelined_end_to_end():
         assert res["batch_size"] == 4
         assert np.all(res["image"] == i)
         assert res["image"].dtype == np.uint8
+
+
+def test_http_server_roundtrip_pipelined():
+    """The HTTP front-end over a PIPELINED service (scripts/serve.py
+    --pipeline 2): lazy predictor results materialize on the completion
+    thread and still arrive correctly through the handler."""
+    from http.server import ThreadingHTTPServer
+
+    serve_mod = _load_serve_module()
+
+    def lazy_predictor(arr_batch, key):
+        b = arr_batch["image"].shape[0]
+
+        class _Lazy:
+            shape = (b, 16, 16, 3)
+
+            def __array__(self, dtype=None, copy=None):
+                out = np.zeros((b, 16, 16, 3), np.float32)
+                for i in range(b):
+                    out[i] = i / 255.0
+                return out
+
+        return _Lazy()
+
+    svc = InpaintService(lazy_predictor, max_batch=2, max_delay_ms=10.0,
+                         size=16, pipeline_depth=2)
+    ready = threading.Event()
+    ready.set()
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve_mod.make_handler(svc, ready)
+    )
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        payload = json.dumps(
+            {
+                "image": _b64_png(np.full((8, 8, 3), 128, np.uint8)),
+                "mask": _b64_png(np.full((8, 8), 255, np.uint8)),
+                "text": "ok",
+            }
+        ).encode()
+        req = urllib.request.Request(
+            base + "/v1/inpaint", data=payload,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            body = json.loads(r.read())
+        assert body["row"] == 0 and body["batch_size"] == 2
+    finally:
+        httpd.shutdown()
+        svc.shutdown()
