@@ -598,3 +598,27 @@ def test_http_server_roundtrip_pipelined():
     finally:
         httpd.shutdown()
         svc.shutdown()
+
+
+def test_pipelined_run_stat_is_finalize_time_not_queueing():
+    """Under pipelining the `run` stat must report the finalize-stage wall
+    time (the capacity number), not launch->completion which would add the
+    in-pipeline queueing of earlier groups (observed 45 s for a 15 s model
+    call on-chip before this fix)."""
+    def launch(items):
+        return list(items)
+
+    def finalize(handle):
+        time.sleep(0.05)
+        return ["ok" for _ in handle]
+
+    mb = MicroBatcher(launch, max_batch=1, max_delay_ms=0.0,
+                      finalize=finalize, pipeline_depth=2)
+    futs = [mb.submit(i) for i in range(6)]
+    assert all(f.result(timeout=10) == "ok" for f in futs)
+    st = mb.stats()
+    mb.shutdown()
+    assert st["batches"] == 6
+    # each group's run ~0.05 s; queue-inclusive timing would read ~0.1-0.3 s
+    assert 0.04 <= st["run"]["p50_s"] <= 0.09, st["run"]
+    assert st["run"]["p95_s"] <= 0.12, st["run"]

@@ -236,7 +236,7 @@ class MicroBatcher:
                     del buf[:-100]
 
     def _resolve_group(self, futures: List[Future], results: Sequence[Any],
-                       n_items: int, waits: List[float], t_dispatch: float) -> None:
+                       n_items: int, waits: List[float], run_s: float) -> None:
         if len(results) != n_items:
             self._fail_group(
                 futures,
@@ -246,7 +246,7 @@ class MicroBatcher:
                 ),
             )
             return
-        self._record_group(n_items, waits, time.monotonic() - t_dispatch)
+        self._record_group(n_items, waits, run_s)
         for fut, res in zip(futures, results):
             fut.set_result(res)
 
@@ -258,19 +258,27 @@ class MicroBatcher:
 
     def _completion_loop(self) -> None:
         """Pipelined second stage: materialize handles in dispatch (FIFO)
-        order; each group's semaphore slot is released when it completes."""
+        order; each group's semaphore slot is released when it completes.
+
+        The recorded ``run`` time is the FINALIZE-stage wall time only: in
+        steady state the completion thread blocks on the device inside
+        finalize, so this is the per-group capacity number — timing
+        launch→completion instead would add the in-pipeline queueing of up
+        to ``pipeline_depth`` earlier groups and read N× the model time."""
         while True:
             entry = self._completion_q.get()
             if entry is None:
                 return
-            handle, futures, n_items, waits, t_dispatch = entry
+            handle, futures, n_items, waits, _t_dispatch = entry
+            t0 = time.monotonic()
             try:
                 try:
                     results = self._finalize(handle)
                 except Exception as e:  # noqa: BLE001 — fail only this group
                     self._fail_group(futures, e)
                     continue
-                self._resolve_group(futures, results, n_items, waits, t_dispatch)
+                self._resolve_group(futures, results, n_items, waits,
+                                    time.monotonic() - t0)
             finally:
                 self._inflight.release()
 
@@ -302,7 +310,8 @@ class MicroBatcher:
             except Exception as e:  # noqa: BLE001 — fail the group, keep serving
                 self._fail_group(futures, e)
                 continue
-            self._resolve_group(futures, results, len(items), waits, t_dispatch)
+            self._resolve_group(futures, results, len(items), waits,
+                                time.monotonic() - t_dispatch)
 
 
 @dataclasses.dataclass
